@@ -1,0 +1,233 @@
+"""Full bundle adjustment with a dense-blocked Schur complement.
+
+TPU-native replacement for `Util::BundleAdjustment` (`src/Util.cpp:34-220`) on
+g2o's `BlockSolver_6_3` (`core/block_solver.hpp:353-479`) and LM driver
+(`core/optimization_algorithm_levenberg.cpp:61-164`):
+
+  reference (sequential, sparse-CCS)          here (batched, MXU-shaped)
+  ------------------------------------------  --------------------------------
+  per-edge linearizeOplus + JtWJ scatter      one batched analytic linearize
+                                              over the edge array + segment_sum
+  per-landmark Schur elimination loop         dense Hpl scatter + ONE matmul
+  (block_solver.hpp:373-439, OpenMP)          [F*6, P*3] @ [P*3, F*6]
+  sparse Cholesky on Hschur                   dense Cholesky (cho_solve)
+  LM accept/reject loop                       lax.while_loop, same schedule
+
+The graph is fixed-capacity and mask-padded: E edge slots with a `valid`
+mask, F pose slots, P landmark slots. Landmarks with no valid edges get
+lambda-floored diagonal blocks and zero updates. Fixed poses (gauge) are
+pinned by identity rows in the reduced system — the reference fixes frame 0
+(`src/Util.cpp:69-77`).
+
+This dense-S path targets windowed local BA and small/medium global BA
+(F up to a few hundred). The sharded, matrix-free CG path for huge maps
+lives in `monocular_slam_tpu/parallel/sharded_ba.py` and reuses the
+linearization here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_slam_tpu.geometry import se3
+from monocular_slam_tpu.optim import lm, residuals, robust
+from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+
+# Reference hyperparameters (`src/ParamConfig.h:7-8,17-18`)
+THRESH_HUBER_FULL_BA = 5.99**0.5
+FULL_BA_ITER = 15
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment graph (the reference builds the same
+    graph from DataManager in `src/Util.cpp:62-176`)."""
+
+    poses: jnp.ndarray  # (F, 3, 4) world->camera
+    points: jnp.ndarray  # (P, 3)
+    k: jnp.ndarray  # (F, 4) per-frame intrinsics (fx, fy, cx, cy)
+    cam_idx: jnp.ndarray  # (E,) int32
+    pt_idx: jnp.ndarray  # (E,) int32
+    uv: jnp.ndarray  # (E, 2) observations
+    info: jnp.ndarray  # (E,) information weight — reference uses 1/scale
+    valid: jnp.ndarray  # (E,) bool
+    fixed: jnp.ndarray  # (F,) bool — gauge-fixed poses
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    chi2_initial: jnp.ndarray  # robust chi2 of the input state
+    chi2_history: jnp.ndarray  # (n_iters,) accepted robust chi2 per iteration
+    lambda_history: jnp.ndarray  # (n_iters,)
+    accepted: jnp.ndarray  # (n_iters,) bool
+    n_iters_run: jnp.ndarray
+
+
+def _edge_weights(prob: BAProblem, r: jnp.ndarray, delta: float):
+    """Robust IRLS weight per edge: info * huber'(chi2)."""
+    e2 = jnp.sum(r * r, axis=-1) * prob.info
+    rho, w_rob = robust.huber(e2, delta)
+    w = jnp.where(prob.valid, prob.info * w_rob, 0.0)
+    chi2 = jnp.sum(jnp.where(prob.valid, rho, 0.0))
+    return w, chi2
+
+
+def _linearize_graph(prob: BAProblem, poses, points, delta: float):
+    """Batched linearization of every edge + block normal equations."""
+    F = poses.shape[0]
+    P = points.shape[0]
+    Tc = poses[prob.cam_idx]  # (E, 3, 4)
+    Xp = points[prob.pt_idx]  # (E, 3)
+    ke = prob.k[prob.cam_idx]  # (E, 4)
+    r, Jp, Jl = residuals.linearize(Tc, Xp, ke, prob.uv)
+    w, chi2 = _edge_weights(prob, r, delta)
+
+    # Weighted block products per edge
+    Hpp_e = _einsum("eai,eaj,e->eij", Jp, Jp, w)  # (E, 6, 6)
+    Hll_e = _einsum("eai,eaj,e->eij", Jl, Jl, w)  # (E, 3, 3)
+    W_e = _einsum("eai,eaj,e->eij", Jp, Jl, w)  # (E, 6, 3)  pose-landmark
+    bp_e = -_einsum("eai,ea,e->ei", Jp, r, w)  # (E, 6)
+    bl_e = -_einsum("eai,ea,e->ei", Jl, r, w)  # (E, 3)
+
+    seg_f = lambda x: jax.ops.segment_sum(x, prob.cam_idx, num_segments=F)
+    seg_p = lambda x: jax.ops.segment_sum(x, prob.pt_idx, num_segments=P)
+    return dict(
+        chi2=chi2,
+        Hpp=seg_f(Hpp_e),  # (F, 6, 6)
+        Hll=seg_p(Hll_e),  # (P, 3, 3)
+        bp=seg_f(bp_e),  # (F, 6)
+        bl=seg_p(bl_e),  # (P, 3)
+        W_e=W_e,
+    )
+
+
+def _chi2_graph(prob: BAProblem, poses, points, delta: float):
+    Tc = poses[prob.cam_idx]
+    Xp = points[prob.pt_idx]
+    ke = prob.k[prob.cam_idx]
+    r = residuals.residual(Tc, Xp, ke, prob.uv)
+    _, chi2 = _edge_weights(prob, r, delta)
+    return chi2
+
+
+def _schur_solve(prob: BAProblem, lin, lam):
+    """Damped Schur-reduced solve. Returns (dxp (F,6), dxl (P,3), b_full)."""
+    F = lin["Hpp"].shape[0]
+    P = lin["Hll"].shape[0]
+    dtype = lin["Hpp"].dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    Hpp_d = lin["Hpp"] + lam * eye6  # (F, 6, 6)
+    Hll_d = lin["Hll"] + lam * eye3  # (P, 3, 3) — lambda floor keeps
+    # zero-observation landmark blocks invertible; their bl is 0 so dxl = 0.
+    Hll_inv = jnp.linalg.inv(Hll_d)  # batched 3x3
+
+    # Y_e = W_e Hll^{-1}[pt(e)] — g2o's per-landmark elimination
+    # (`block_solver.hpp:381-432`) becomes a batched 6x3 @ 3x3.
+    Y_e = _mm(lin["W_e"], Hll_inv[prob.pt_idx])  # (E, 6, 3)
+
+    # Dense Hpl and Y as (F*6, P*3) via scatter-add, then ONE matmul for the
+    # Schur cross terms: S -= Y U^T rides the MXU.
+    def scatter_fp(blocks):  # (E, 6, 3) -> (F, 6, P, 3)
+        out = jnp.zeros((F, 6, P, 3), dtype=dtype)
+        return out.at[prob.cam_idx, :, prob.pt_idx, :].add(blocks)
+
+    U = scatter_fp(lin["W_e"]).reshape(F * 6, P * 3)
+    Y = scatter_fp(Y_e).reshape(F * 6, P * 3)
+
+    S = jnp.zeros((F, 6, F, 6), dtype=dtype)
+    S = S.at[jnp.arange(F), :, jnp.arange(F), :].set(Hpp_d)
+    S = S.reshape(F * 6, F * 6) - _mm(Y, U.T)
+
+    # b_red = bp - sum_l Y_il bl_l (edge-wise segment sum)
+    yb_e = _einsum("eij,ej->ei", Y_e, lin["bl"][prob.pt_idx])  # (E, 6)
+    b_red = lin["bp"] - jax.ops.segment_sum(yb_e, prob.cam_idx, num_segments=F)
+
+    # Gauge fixing: identity rows/cols for fixed poses (frame 0 in the
+    # reference, `src/Util.cpp:69-77`).
+    free = ~prob.fixed  # (F,)
+    free6 = jnp.repeat(free, 6)  # (F*6,)
+    mask2d = free6[:, None] & free6[None, :]
+    S = jnp.where(mask2d, S, 0.0)
+    S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+    b_red = jnp.where(free[:, None], b_red, 0.0).reshape(F * 6)
+
+    dxp = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S, lower=True), b_red
+    ).reshape(F, 6)
+
+    # Back-substitution: dxl = Hll^{-1} (bl - W^T dxp) (`block_solver.hpp:459-479`)
+    wt_dxp_e = _einsum("eij,ei->ej", lin["W_e"], dxp[prob.cam_idx])  # (E, 3)
+    rhs_l = lin["bl"] - jax.ops.segment_sum(wt_dxp_e, prob.pt_idx, num_segments=P)
+    dxl = _einsum("pij,pj->pi", Hll_inv, rhs_l)
+    return dxp, dxl, b_red.reshape(F, 6)
+
+
+def bundle_adjust(
+    prob: BAProblem,
+    n_iters: int = FULL_BA_ITER,
+    delta: float = THRESH_HUBER_FULL_BA,
+    tau: float = 1e-5,
+) -> BAResult:
+    """Run damped LM bundle adjustment. Fully jittable; fixed trip count with
+    early-stall freeze (g2o terminates when chi2 improves < 1e-3 relative for
+    consecutive iterations, `optimization_algorithm_levenberg.cpp:154-161`)."""
+    dtype = prob.poses.dtype
+
+    lin0 = _linearize_graph(prob, prob.poses, prob.points, delta)
+    diag0 = jnp.concatenate(
+        [
+            jnp.diagonal(lin0["Hpp"], axis1=-2, axis2=-1).reshape(-1),
+            jnp.diagonal(lin0["Hll"], axis1=-2, axis2=-1).reshape(-1),
+        ]
+    )
+    lam0 = lm.init_lambda(diag0, tau)
+
+    def body(carry, _):
+        poses, points, st = carry
+
+        def step(operand):
+            poses, points, st = operand
+            lin = _linearize_graph(prob, poses, points, delta)
+            dxp, dxl, _ = _schur_solve(prob, lin, st.lam)
+            poses_new = se3.compose(se3.exp(dxp), poses)
+            points_new = points + dxl
+            chi2_new = _chi2_graph(prob, poses_new, points_new, delta)
+            dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
+            b_all = jnp.concatenate([lin["bp"].reshape(-1), lin["bl"].reshape(-1)])
+            rho = lm.gain_ratio(lin["chi2"], chi2_new, dx_all, b_all, st.lam)
+            accept = (chi2_new < lin["chi2"]) & jnp.isfinite(chi2_new)
+            lam_new, nu_new = lm.lm_step_accept(st.lam, st.nu, rho, accept)
+            poses_out = jnp.where(accept, poses_new, poses)
+            points_out = jnp.where(accept, points_new, points)
+            chi2_out = jnp.where(accept, chi2_new, lin["chi2"])
+            stall = accept & (lin["chi2"] - chi2_new < 1e-6 * lin["chi2"])
+            st_new = lm.LMState(lam_new, nu_new, chi2_out, st.it + 1, st.done | stall)
+            return (poses_out, points_out, st_new), accept
+
+        def frozen(operand):
+            poses, points, st = operand
+            return (poses, points, st._replace(it=st.it + 1)), jnp.asarray(False)
+
+        (poses, points, st), accept = jax.lax.cond(
+            st.done, frozen, step, (poses, points, st)
+        )
+        return (poses, points, st), (st.chi2, st.lam, accept)
+
+    st0 = lm.LMState(
+        lam0, jnp.asarray(2.0, dtype), lin0["chi2"], jnp.asarray(0, jnp.int32), jnp.asarray(False)
+    )
+    (poses, points, st), (chi2_h, lam_h, acc_h) = jax.lax.scan(
+        body, (prob.poses, prob.points, st0), None, length=n_iters
+    )
+    return BAResult(poses, points, lin0["chi2"], chi2_h, lam_h, acc_h, st.it)
+
+
+def global_bundle_adjust(prob: BAProblem, n_iters: int = FULL_BA_ITER) -> BAResult:
+    """All-frames/all-points wrapper — the reference's `GlobalBundleAdjustemnt`
+    [sic] (`src/Util.h:24`, `src/Util.cpp:28-32`; typo not replicated)."""
+    return bundle_adjust(prob, n_iters=n_iters)
