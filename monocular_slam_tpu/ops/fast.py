@@ -1,0 +1,99 @@
+"""Branch-free FAST-9/16 corner detection, whole-image vectorized.
+
+Replaces OpenCV's FAST inside `OrbFeatureDetector` (`src/FeatureExtractor.cpp`).
+The classic implementation early-exits per pixel on a 16-pixel Bresenham ring
+test — data-dependent control flow a TPU can't use. Here EVERY pixel evaluates
+the full ring simultaneously on the VPU:
+
+  - d_i = ring_i - center for the 16 ring offsets (static rolls of the image)
+  - a pixel is a corner if some 9 contiguous d_i are all > t (bright arc) or
+    all < -t (dark arc)
+  - the "9 contiguous" test/score uses a log-step min-reduction over circular
+    windows (min9_i = min(d_i..d_{i+8}) via min-roll doubling), the same
+    doubling trick DBoW2 uses for popcount bytes (`FORB.cpp:81-100`) but with
+    min instead of +
+  - corner score = max_i min9_i (bright) or max_i min9(-d)_i (dark): the
+    largest threshold at which the pixel would still be a corner — matches
+    OpenCV's FAST score semantics
+  - 3x3 NMS by max-pool equality, then top-K by lax.top_k
+
+Output is fixed-capacity: exactly `max_corners` (y, x) positions + validity
+mask, sorted by score.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# 16-point Bresenham circle of radius 3, clockwise from 12 o'clock
+# (dy, dx) offsets.
+RING_OFFSETS = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+BORDER = 3
+
+
+def _ring_diffs(img: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) of ring minus center. Uses static rolls (no gathers)."""
+    stack = [jnp.roll(img, (-dy, -dx), axis=(-2, -1)) for (dy, dx) in RING_OFFSETS]
+    return jnp.stack(stack, axis=0) - img[None]
+
+
+def _circular_min9(d: jnp.ndarray) -> jnp.ndarray:
+    """min over each circular window of 9 consecutive entries along axis 0
+    (length 16). Log-step doubling: 4 rolls instead of 9x16 comparisons."""
+    m = jnp.minimum(d, jnp.roll(d, -1, axis=0))  # window 2
+    m = jnp.minimum(m, jnp.roll(m, -2, axis=0))  # window 4
+    m = jnp.minimum(m, jnp.roll(m, -4, axis=0))  # window 8
+    return jnp.minimum(m, jnp.roll(d, -8, axis=0))  # window 9
+
+
+def corner_score(img: jnp.ndarray, threshold: float = 20.0) -> jnp.ndarray:
+    """FAST-9 corner score per pixel (0 where not a corner). img: (H, W)."""
+    d = _ring_diffs(img)
+    bright = jnp.max(_circular_min9(d), axis=0)  # largest t with a bright arc
+    dark = jnp.max(_circular_min9(-d), axis=0)
+    score = jnp.maximum(bright, dark)
+    score = jnp.where(score > threshold, score, 0.0)
+    # Kill the border ring (rolls wrap around the image edges).
+    H, W = img.shape[-2:]
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    interior = (
+        (ys >= BORDER) & (ys < H - BORDER) & (xs >= BORDER) & (xs < W - BORDER)
+    )
+    return jnp.where(interior, score, 0.0)
+
+
+def nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression via max-pool equality."""
+    p = jnp.pad(score, ((1, 1), (1, 1)), constant_values=-jnp.inf)
+    mx = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            mx = jnp.maximum(mx, p[1 + dy : 1 + dy + score.shape[0], 1 + dx : 1 + dx + score.shape[1]])
+    return jnp.where(score >= mx, score, 0.0)
+
+
+class Corners(NamedTuple):
+    yx: jnp.ndarray  # (K, 2) float — (y, x) positions at this level
+    score: jnp.ndarray  # (K,)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def detect(
+    img: jnp.ndarray, max_corners: int, threshold: float = 20.0
+) -> Corners:
+    """Fixed-capacity FAST detection: top `max_corners` NMS survivors."""
+    score = nms3(corner_score(img, threshold))
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_corners)
+    W = img.shape[-1]
+    yx = jnp.stack([idx // W, idx % W], axis=-1).astype(img.dtype)
+    return Corners(yx=yx, score=vals, valid=vals > 0)

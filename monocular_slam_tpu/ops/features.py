@@ -1,0 +1,71 @@
+"""Full ORB feature extraction over an image pyramid — the frontend stage.
+
+Replaces `FeatureExtractor::process` (`src/FeatureExtractor.cpp:13-31`): fills
+fixed-capacity per-frame keypoints, scales, and 32-byte descriptors. Keypoint
+budget is split across pyramid levels proportional to level area (ORB's
+per-level distribution), detection is branch-free FAST (ops/fast.py),
+description is steered BRIEF (ops/orb.py) on the blurred level image.
+
+The pyramid has static per-level shapes, so the whole extractor jit-compiles
+to one program per image resolution.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from monocular_slam_tpu.ops import fast, orb, pyramid
+
+
+def _level_budgets(n_features: int, n_levels: int) -> list[int]:
+    """Geometric split (factor 1/1.2) of the keypoint budget across levels."""
+    inv = 1.0 / pyramid.SCALE_FACTOR
+    raw = [inv**i for i in range(n_levels)]
+    s = sum(raw)
+    per = [max(8, int(round(n_features * r / s))) for r in raw]
+    # trim/extend to match the exact total
+    delta = n_features - sum(per)
+    per[0] += delta
+    return per
+
+
+def extract(
+    img: jnp.ndarray,
+    n_features: int = 1000,
+    n_levels: int = pyramid.N_LEVELS,
+    fast_threshold: float = 20.0,
+) -> orb.Features:
+    """Extract ORB features from a grayscale (H, W) float image in [0, 255].
+
+    Returns a fixed-capacity `Features` with exactly n_features slots (invalid
+    slots masked)."""
+    img = img.astype(jnp.float32)
+    levels = pyramid.build_pyramid(img, n_levels)
+    budgets = _level_budgets(n_features, n_levels)
+
+    uvs, descs, angles, scores, scales, valids = [], [], [], [], [], []
+    for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
+        sc = pyramid.level_scale(lvl)
+        corners = fast.detect(im_l, budget, fast_threshold)
+        blurred = pyramid.gaussian_blur(im_l, sigma=2.0, radius=3)
+        ang = orb.orientations(im_l, corners.yx)
+        desc = orb.descriptors(blurred, corners.yx, ang)
+        # positions back to level-0 pixels, as (x, y) to match uv convention
+        uv = jnp.stack([corners.yx[:, 1], corners.yx[:, 0]], axis=-1) * sc
+        uvs.append(uv)
+        descs.append(desc)
+        angles.append(ang)
+        scores.append(corners.score)
+        scales.append(jnp.full(budget, sc, dtype=img.dtype))
+        valids.append(corners.valid)
+
+    desc_packed = jnp.concatenate(descs)
+    return orb.Features(
+        uv=jnp.concatenate(uvs),
+        desc=desc_packed,
+        desc_pm1=orb.unpack_pm1(desc_packed),
+        angle=jnp.concatenate(angles),
+        score=jnp.concatenate(scores),
+        scale=jnp.concatenate(scales),
+        valid=jnp.concatenate(valids),
+    )

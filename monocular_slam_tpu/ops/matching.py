@@ -1,0 +1,79 @@
+"""Descriptor matching: Hamming distances as one MXU matmul + ratio test.
+
+Replaces the reference's BFMatcher kNN + Lowe ratio matching
+(`src/CameraPoseEstimator.cpp:200-213`; ratio 0.8 for tracking, 0.85 for
+init per `src/ParamConfig.h:5`). The O(N*M) distance table is computed as a
+single int8 matmul on the 256-dim +-1 expansion:
+
+    dist = (256 - A_pm1 @ B_pm1^T) / 2
+
+which is exactly Hamming distance, runs on the MXU, and replaces DBoW2's
+scalar SWAR popcount loop (`FORB.cpp:81-100`). Top-2 per row + ratio test +
+optional mutual cross-check produce fixed-shape match arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+FEATURE_MATCH_RATIO_TEST = 0.85  # `src/ParamConfig.h:5` (init)
+TRACKING_RATIO = 0.8  # matchFeatures default (`CameraPoseEstimator.cpp:200`)
+
+
+def hamming_matrix(a_pm1: jnp.ndarray, b_pm1: jnp.ndarray) -> jnp.ndarray:
+    """(N, 256) int8, (M, 256) int8 -> (N, M) int32 Hamming distances."""
+    dots = jnp.matmul(
+        a_pm1.astype(jnp.int8),
+        b_pm1.astype(jnp.int8).T,
+        preferred_element_type=jnp.int32,
+    )
+    return (256 - dots) >> 1
+
+
+class Matches(NamedTuple):
+    """Fixed-shape match table: one entry per query feature."""
+
+    idx: jnp.ndarray  # (N,) int32 — best match in B for each A feature
+    dist: jnp.ndarray  # (N,) int32 — its Hamming distance
+    ok: jnp.ndarray  # (N,) bool — passed ratio/validity/cross checks
+    n_matches: jnp.ndarray  # scalar
+
+
+def match(
+    a_pm1: jnp.ndarray,
+    b_pm1: jnp.ndarray,
+    a_valid: jnp.ndarray,
+    b_valid: jnp.ndarray,
+    ratio: float = FEATURE_MATCH_RATIO_TEST,
+    max_dist: int = 256,
+    cross_check: bool = True,
+) -> Matches:
+    """Lowe-ratio kNN matching, fixed shapes.
+
+    Invalid rows/cols are pushed to +inf distance. The ratio test compares
+    best vs second-best (knnMatch k=2 + `m0.distance < ratio * m1.distance`,
+    `src/CameraPoseEstimator.cpp:205-210`).
+    """
+    D = hamming_matrix(a_pm1, b_pm1)  # (N, M)
+    BIG = jnp.int32(1 << 20)
+    D = jnp.where(b_valid[None, :], D, BIG)
+    D = jnp.where(a_valid[:, None], D, BIG)
+
+    # top-2 smallest per row without a full sort: min, then masked second min.
+    best = jnp.argmin(D, axis=1)  # (N,)
+    d1 = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    D2 = D.at[jnp.arange(D.shape[0]), best].set(BIG)
+    d2 = jnp.min(D2, axis=1)
+
+    ok = (
+        a_valid
+        & (d1.astype(jnp.float32) < ratio * d2.astype(jnp.float32))
+        & (d1 <= max_dist)
+    )
+    if cross_check:
+        # mutual best: argmin over columns must point back
+        best_col = jnp.argmin(D, axis=0)  # (M,)
+        ok = ok & (best_col[best] == jnp.arange(D.shape[0]))
+    return Matches(idx=best, dist=d1, ok=ok, n_matches=jnp.sum(ok))
