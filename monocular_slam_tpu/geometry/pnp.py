@@ -1,0 +1,112 @@
+"""Perspective-n-Point: batched DLT minimal solver + vmapped RANSAC + LM refine.
+
+Replaces the reference's `cv::solvePnPRansac` call in the tracking path
+(`src/CameraPoseEstimator.cpp:462-474`). Shape: K hypothesis samples of 6
+3D-2D correspondences are solved simultaneously (one batched 12x12
+eigendecomposition), scored by reprojection inliers, and the winner is
+polished with the Huber LM pose refiner (`optim/pose_ba.py`) on its inlier
+set — which also replaces the pose-only BA the reference disabled
+(`src/CameraPoseEstimator.cpp:482-483`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_slam_tpu.geometry import camera as cam
+from monocular_slam_tpu.geometry import se3, so3
+from monocular_slam_tpu.geometry.epipolar import _sample_indices
+from monocular_slam_tpu.optim import pose_ba
+from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+
+_EPS = 1e-12
+MIN_SAMPLE = 6
+
+
+def pnp_dlt(X: jnp.ndarray, xy: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+    """DLT PnP from n >= 6 points. X: (..., n, 3) world points; xy: (..., n, 2)
+    NORMALIZED image coords (K^-1 pixels); w: optional (..., n) weights.
+    Returns (..., 3, 4) world->camera pose with R projected to SO(3).
+    """
+    if w is None:
+        w = jnp.ones(X.shape[:-1], dtype=X.dtype)
+    n = X.shape[-2]
+    Xh = jnp.concatenate([X, jnp.ones(X.shape[:-1] + (1,), X.dtype)], axis=-1)  # (..., n, 4)
+    zeros = jnp.zeros_like(Xh)
+    x, y = xy[..., 0:1], xy[..., 1:2]
+    rows1 = jnp.concatenate([Xh, zeros, -x * Xh], axis=-1)  # (..., n, 12)
+    rows2 = jnp.concatenate([zeros, Xh, -y * Xh], axis=-1)
+    A = jnp.concatenate([rows1 * w[..., None], rows2 * w[..., None]], axis=-2)  # (..., 2n, 12)
+    AtA = _mm(jnp.swapaxes(A, -1, -2), A)
+    _, V = jnp.linalg.eigh(AtA)
+    p = V[..., :, 0]
+    P = p.reshape(p.shape[:-1] + (3, 4))
+    # Fix sign: points must have positive depth on average.
+    depth = _einsum("...ij,...nj->...ni", P, Xh)[..., 2]
+    sgn = jnp.where(jnp.sum(jnp.sign(depth) * w, axis=-1) < 0, -1.0, 1.0)
+    P = P * sgn[..., None, None]
+    M = P[..., :3, :3]
+    # Scale so that M is a rotation: divide by the mean singular value.
+    s = jnp.linalg.svd(M, compute_uv=False)
+    scale = jnp.mean(s, axis=-1)
+    R = so3.project_to_so3(M)
+    t = P[..., :3, 3] / jnp.maximum(scale, _EPS)[..., None]
+    return se3.from_Rt(R, t)
+
+
+class PnPResult(NamedTuple):
+    T: jnp.ndarray  # (3, 4) world->camera
+    inliers: jnp.ndarray  # (N,) bool
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray  # bool — solution trustworthy (enough inliers)
+
+
+def solve_pnp_ransac(
+    key: jax.Array,
+    X: jnp.ndarray,
+    uv: jnp.ndarray,
+    k: jnp.ndarray,
+    mask: jnp.ndarray,
+    n_iters: int = 512,
+    px_thresh: float = 3.0,
+    min_inliers: int = 10,
+    refine: bool = True,
+) -> PnPResult:
+    """RANSAC PnP. X: (N, 3) map points; uv: (N, 2) pixels; k: (4,); mask: (N,).
+
+    Replaces `cv::solvePnPRansac` (`src/CameraPoseEstimator.cpp:472`). The
+    reference hardcodes TUM-F1 distortion there for every dataset (SURVEY 2.4
+    bug) — here the caller undistorts once upstream instead.
+    """
+    N = X.shape[0]
+    xy = cam.normalize_points(k, uv)  # (N, 2)
+
+    idx = _sample_indices(key, n_iters, MIN_SAMPLE, mask)  # (K, 6)
+    T_h = pnp_dlt(X[idx], xy[idx])  # (K, 3, 4)
+
+    # Score: reprojection error of ALL points under each hypothesis.
+    Xc = se3.apply(T_h[:, None], X[None])  # (K, N, 3)
+    proj = cam.project(k, Xc)
+    err2 = jnp.sum((proj - uv[None]) ** 2, axis=-1)
+    inl = (err2 < px_thresh * px_thresh) & (Xc[..., 2] > 0) & mask[None]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    T_best = T_h[best]
+    inl_best = inl[best]
+
+    if refine:
+        res = pose_ba.refine_pose(
+            T_best, X, uv, k, inl_best.astype(X.dtype), n_rounds=2
+        )
+        # Accept the refinement only if it keeps at least as many inliers.
+        use = res.n_inliers >= jnp.sum(inl_best)
+        T_fin = jnp.where(use, res.T, T_best)
+        inl_fin = jnp.where(use, res.inliers, inl_best)
+    else:
+        T_fin, inl_fin = T_best, inl_best
+
+    n_inl = jnp.sum(inl_fin)
+    return PnPResult(T_fin, inl_fin, n_inl, n_inl >= min_inliers)
