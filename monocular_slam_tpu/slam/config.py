@@ -1,0 +1,61 @@
+"""Typed configuration tree — replaces the reference's three config tiers
+(CLI flags `src/AppConfig.cpp`, compile-time constants `src/ParamConfig.h`,
+and scattered `#define` toggles; see SURVEY.md 5.6).
+
+All values that shape arrays are Python ints (static under jit); thresholds
+are floats baked into the compiled programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    n_features: int = 1000  # keypoints per frame
+    n_levels: int = 8  # pyramid levels (ORB default)
+    fast_threshold: float = 20.0
+    match_ratio_init: float = 0.85  # FEATURE_MATCH_RATIO_TEST (ParamConfig.h:5)
+    match_ratio_track: float = 0.8  # matchFeatures default (CameraPoseEstimator.cpp:200)
+    max_hamming: int = 80  # absolute descriptor distance gate
+
+
+@dataclass(frozen=True)
+class InitConfig:
+    ransac_iters: int = 2000  # `src/CameraPoseEstimator.cpp:26`
+    sampson_px: float = 1.5  # inlier threshold in pixels
+    min_inliers: int = 30
+    max_cos_parallax: float = 0.99995  # reject rays with < ~0.6 deg parallax
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    back_traverse: int = 5  # numBackTraverse (`CameraPoseEstimator.cpp:390`)
+    pnp_iters: int = 512
+    pnp_px_thresh: float = 3.0
+    pnp_min_inliers: int = 10
+    triangulate_px_thresh: float = 2.0
+    min_depth: float = 0.05
+    max_depth: float = 100.0
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    window: int = 8  # local BA keyframe window
+    local_iters: int = 10
+    full_iters: int = 15  # FULL_BA_ITER (ParamConfig.h:18)
+    pose_iters: int = 10  # POSE_BA_ITER (ParamConfig.h:15)
+    huber_full: float = 5.99**0.5  # ParamConfig.h:8
+    huber_pose: float = 5.991**0.5  # ParamConfig.h:10
+    chi2_gate: float = 5.991  # ParamConfig.h:12
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    max_frames: int = 128
+    max_points: int = 20000
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    init: InitConfig = field(default_factory=InitConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
