@@ -32,11 +32,12 @@ class SyntheticSequence(NamedTuple):
     timestamps: np.ndarray  # (F,)
 
 
-def arc_trajectory(n_frames: int, radius: float = 4.0, dtype=jnp.float32):
-    """Cameras orbiting a scene at the origin, always looking at it."""
+def arc_trajectory(n_frames: int, radius: float = 4.0, dtype=jnp.float32, ang_step: float = 0.04):
+    """Cameras orbiting a scene at the origin, always looking at it. A full
+    revisit (loop) happens at ang_step * i = 2 pi."""
     poses = []
     for i in range(n_frames):
-        ang = 0.04 * i
+        ang = ang_step * i
         c = jnp.array(
             [radius * np.sin(ang), 0.15 * np.sin(0.3 * i), -radius * np.cos(ang)],
             dtype=dtype,
@@ -62,6 +63,7 @@ def feature_sequence(
     desc_flip_bits: int = 8,
     image_wh=(640, 480),
     k=TUM_K,
+    ang_step: float = 0.04,
 ) -> SyntheticSequence:
     """Project a fixed world point cloud into an arc trajectory.
 
@@ -73,7 +75,7 @@ def feature_sequence(
     kw, kd = jax.random.split(key)
     pts = jax.random.uniform(kw, (n_world_points, 3), minval=-2.0, maxval=2.0)
     pts = pts * jnp.array([2.0, 1.5, 2.0])
-    poses = arc_trajectory(n_frames)
+    poses = arc_trajectory(n_frames, ang_step=ang_step)
     W, H = image_wh
 
     desc_bits = jax.random.bernoulli(kd, 0.5, (n_world_points, 256))

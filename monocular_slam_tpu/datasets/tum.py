@@ -37,23 +37,29 @@ class TumSequence:
     wh: tuple[int, int]
 
     def load_image(self, i: int, gray: bool = True) -> np.ndarray:
-        """Decode frame i's RGB image as float32 (H, W) grayscale [0, 255]."""
-        from PIL import Image
+        """Decode frame i's RGB image as float32 (H, W) grayscale [0, 255]
+        via the native decoder (libslamio), PIL fallback."""
+        from monocular_slam_tpu import native
 
-        img = Image.open(self.frames[i].rgb_path)
-        if gray:
-            img = img.convert("L")
-        return np.asarray(img, dtype=np.float32)
+        return native.load_png_f32(self.frames[i].rgb_path, scale16=1.0 / 256.0)
 
     def load_depth(self, i: int) -> np.ndarray | None:
         """Depth in meters (TUM scale factor 5000), or None."""
         p = self.frames[i].depth_path
         if p is None:
             return None
-        from PIL import Image
+        from monocular_slam_tpu import native
 
-        d = np.asarray(Image.open(p), dtype=np.float32)
-        return d / 5000.0
+        return native.load_png_f32(p, scale16=1.0 / 5000.0)
+
+    def load_images_batch(self, indices, n_threads: int = 0):
+        """Threaded native batch decode of several frames."""
+        from monocular_slam_tpu import native
+
+        return native.load_batch_f32(
+            [self.frames[i].rgb_path for i in indices], scale16=1.0 / 256.0,
+            n_threads=n_threads,
+        )
 
 
 def _read_list_file(path: str):

@@ -71,11 +71,15 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    sin_t = jnp.sin(theta)
+    antisym = vee(R - jnp.swapaxes(R, -1, -2))
+    # theta via atan2(sin, cos) rather than arccos: arccos has a NaN/inf
+    # tangent at cos = 1 (identity rotation) which poisons autodiff through
+    # log — e.g. pose-graph Jacobians evaluated at zero residual. atan2 is
+    # smooth there. |vee(R - R^T)| = 2 sin(theta).
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(antisym * antisym, axis=-1) + 1e-40)
+    theta = jnp.arctan2(sin_t, cos_t)
 
     # Generic branch: w = theta/(2 sin t) * vee(R - R^T)
-    antisym = vee(R - jnp.swapaxes(R, -1, -2))
     small = jnp.abs(sin_t) < _EPS
     factor = jnp.where(
         small, 0.5 + theta * theta / 12.0, theta / jnp.where(small, 1.0, 2.0 * sin_t)

@@ -1,0 +1,181 @@
+"""Sim(3) pose-graph optimization (essential-graph optimization).
+
+The loop-closure back-end the reference's UML diagram promises
+(`Util::poseGraphOptimisation`, `LoopCloser::essentialGraphOptimisation` in
+ORBSLAM.png) but whose code never existed; g2o ships the types
+(`types/types_seven_dof_expmap.h:48-175`, BlockSolver_7_3) the reference
+never calls.
+
+Design: vertices are per-frame Sim3 (world->camera) as (F, 3, 5) packed
+arrays; edges carry relative measurements S_meas_ij with residual
+
+    e_ij = log( S_meas_ij o S_j o S_i^{-1} )   in sim(3), 7-dim
+
+(zero when S_i o S_j^{-1} == S_meas_ij — the g2o EdgeSim3 convention).
+Jacobians come from jax.jacfwd through our exact exp/log (7x7 per edge,
+batched) — no hand-derived Sim3 adjoints to get wrong. The Hessian is dense
+(7F x 7F): trajectory-scale graphs (hundreds of keyframes) stay tiny for a
+TPU Cholesky; huge graphs go through the sharded CG path later.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_slam_tpu.geometry import sim3
+from monocular_slam_tpu.optim import lm
+from monocular_slam_tpu.utils.precision import einsum_hp as _einsum
+
+
+class PoseGraph(NamedTuple):
+    vertices: jnp.ndarray  # (F, 3, 5) Sim3 world->camera
+    i_idx: jnp.ndarray  # (E,) int32 edge endpoints
+    j_idx: jnp.ndarray  # (E,)
+    meas: jnp.ndarray  # (E, 3, 5) measured S_ij = S_i o S_j^{-1}
+    weight: jnp.ndarray  # (E,) information weight
+    valid: jnp.ndarray  # (E,) bool
+    fixed: jnp.ndarray  # (F,) bool
+
+
+class PoseGraphResult(NamedTuple):
+    vertices: jnp.ndarray
+    chi2_initial: jnp.ndarray
+    chi2_history: jnp.ndarray
+
+
+def edge_residual(S_i, S_j, S_meas):
+    """e = log(S_meas o S_j o S_i^{-1}), (…, 7)."""
+    return sim3.log(sim3.compose(S_meas, sim3.compose(S_j, sim3.inverse(S_i))))
+
+
+def _residual_wrt_updates(xi_i, xi_j, S_i, S_j, S_meas):
+    """Residual after left-multiplied tangent updates on both endpoints."""
+    return edge_residual(
+        sim3.compose(sim3.exp(xi_i), S_i),
+        sim3.compose(sim3.exp(xi_j), S_j),
+        S_meas,
+    )
+
+
+_jac_i = jax.vmap(jax.jacfwd(_residual_wrt_updates, argnums=0), in_axes=(None, None, 0, 0, 0))
+_jac_j = jax.vmap(jax.jacfwd(_residual_wrt_updates, argnums=1), in_axes=(None, None, 0, 0, 0))
+_res_batch = jax.vmap(edge_residual, in_axes=(0, 0, 0))
+
+
+def _linearize(g: PoseGraph, verts):
+    F = verts.shape[0]
+    S_i = verts[g.i_idx]
+    S_j = verts[g.j_idx]
+    r = _res_batch(S_i, S_j, g.meas)  # (E, 7)
+    z7 = jnp.zeros(7, dtype=verts.dtype)
+    Ji = _jac_i(z7, z7, S_i, S_j, g.meas)  # (E, 7, 7)
+    Jj = _jac_j(z7, z7, S_i, S_j, g.meas)
+    w = jnp.where(g.valid, g.weight, 0.0)
+    chi2 = jnp.sum(jnp.sum(r * r, axis=-1) * w)
+
+    # Dense H (F,7,F,7) and gradient b (F,7) by scatter-add of edge blocks.
+    Hii = _einsum("eai,eaj,e->eij", Ji, Ji, w)
+    Hjj = _einsum("eai,eaj,e->eij", Jj, Jj, w)
+    Hij = _einsum("eai,eaj,e->eij", Ji, Jj, w)
+    bi = -_einsum("eai,ea,e->ei", Ji, r, w)
+    bj = -_einsum("eai,ea,e->ei", Jj, r, w)
+
+    H = jnp.zeros((F, 7, F, 7), dtype=verts.dtype)
+    H = H.at[g.i_idx, :, g.i_idx, :].add(Hii)
+    H = H.at[g.j_idx, :, g.j_idx, :].add(Hjj)
+    H = H.at[g.i_idx, :, g.j_idx, :].add(Hij)
+    H = H.at[g.j_idx, :, g.i_idx, :].add(jnp.swapaxes(Hij, -1, -2))
+    b = jnp.zeros((F, 7), dtype=verts.dtype)
+    b = b.at[g.i_idx].add(bi)
+    b = b.at[g.j_idx].add(bj)
+    return H, b, chi2
+
+
+def _chi2(g: PoseGraph, verts):
+    r = _res_batch(verts[g.i_idx], verts[g.j_idx], g.meas)
+    w = jnp.where(g.valid, g.weight, 0.0)
+    return jnp.sum(jnp.sum(r * r, axis=-1) * w)
+
+
+def optimize(g: PoseGraph, n_iters: int = 20, tau: float = 1e-5) -> PoseGraphResult:
+    """Damped LM on the Sim3 pose graph; fixed vertices pinned by identity
+    rows (the loop-closure fixpoint)."""
+    F = g.vertices.shape[0]
+    dtype = g.vertices.dtype
+    free7 = jnp.repeat(~g.fixed, 7)
+
+    H0, b0, chi2_0 = _linearize(g, g.vertices)
+    lam0 = lm.init_lambda(jnp.diagonal(H0.reshape(F * 7, F * 7)), tau)
+
+    def body(carry, _):
+        verts, st = carry
+
+        def step(op):
+            verts, st = op
+            H, b, chi2_cur = _linearize(g, verts)
+            Hm = H.reshape(F * 7, F * 7) + st.lam * jnp.eye(F * 7, dtype=dtype)
+            mask2d = free7[:, None] & free7[None, :]
+            Hm = jnp.where(mask2d, Hm, 0.0) + jnp.diag(jnp.where(free7, 0.0, 1.0))
+            bv = jnp.where(free7, b.reshape(-1), 0.0)
+            dx = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hm, lower=True), bv
+            ).reshape(F, 7)
+            verts_new = sim3.compose(sim3.exp(dx), verts)
+            chi2_new = _chi2(g, verts_new)
+            rho = lm.gain_ratio(chi2_cur, chi2_new, dx.reshape(-1), bv, st.lam)
+            accept = (chi2_new < chi2_cur) & jnp.isfinite(chi2_new)
+            lam_n, nu_n = lm.lm_step_accept(st.lam, st.nu, rho, accept)
+            verts_o = jnp.where(accept, verts_new, verts)
+            chi2_o = jnp.where(accept, chi2_new, chi2_cur)
+            stall = accept & (chi2_cur - chi2_new < 1e-9 * (chi2_cur + 1e-30))
+            return verts_o, lm.LMState(lam_n, nu_n, chi2_o, st.it + 1, st.done | stall)
+
+        def frozen(op):
+            verts, st = op
+            return verts, st._replace(it=st.it + 1)
+
+        verts, st = jax.lax.cond(st.done, frozen, step, (verts, st))
+        return (verts, st), st.chi2
+
+    st0 = lm.LMState(lam0, jnp.asarray(2.0, dtype), chi2_0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    (verts, st), chi2_h = jax.lax.scan(body, (g.vertices, st0), None, length=n_iters)
+    return PoseGraphResult(verts, chi2_0, chi2_h)
+
+
+def sequential_graph(
+    poses_sim3: jnp.ndarray,
+    valid: jnp.ndarray,
+    extra_i=None,
+    extra_j=None,
+    extra_meas=None,
+    extra_weight=None,
+    loop_weight: float = 5.0,
+) -> PoseGraph:
+    """Build the standard loop-closing graph: odometry edges between
+    consecutive valid frames (measured from current estimates) + optional
+    loop edges with their measured Sim3."""
+    F = poses_sim3.shape[0]
+    i_idx = jnp.arange(F - 1, dtype=jnp.int32)
+    j_idx = i_idx + 1
+    meas = sim3.compose(poses_sim3[i_idx], sim3.inverse(poses_sim3[j_idx]))
+    w = jnp.ones(F - 1, dtype=poses_sim3.dtype)
+    v = valid[i_idx] & valid[j_idx]
+    if extra_i is not None:
+        i_idx = jnp.concatenate([i_idx, jnp.asarray(extra_i, jnp.int32)])
+        j_idx = jnp.concatenate([j_idx, jnp.asarray(extra_j, jnp.int32)])
+        meas = jnp.concatenate([meas, extra_meas])
+        ew = (
+            jnp.asarray(extra_weight)
+            if extra_weight is not None
+            else jnp.full(len(extra_i), loop_weight, dtype=poses_sim3.dtype)
+        )
+        w = jnp.concatenate([w, ew])
+        v = jnp.concatenate([v, jnp.ones(len(extra_i), dtype=bool)])
+    fixed = jnp.zeros(F, bool).at[0].set(True)
+    return PoseGraph(
+        vertices=poses_sim3, i_idx=i_idx, j_idx=j_idx, meas=meas, weight=w,
+        valid=v, fixed=fixed,
+    )

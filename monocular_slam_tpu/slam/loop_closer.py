@@ -1,0 +1,227 @@
+"""Loop closure: BoW detection -> Sim3 -> pose-graph correction -> global BA.
+
+Implements what the reference declared but stubbed out
+(`LoopCloser::Run = DetectLoop -> ComputeSim3 -> CorrectLoop`,
+`src/LoopCloser.cpp:10-17`; ComputeSim3 returns false :147-150, CorrectLoop
+is a no-op :152-155, and DetectLoop is a buggy brute-force scan :19-51 that
+is never registered in a pipeline), using the vendored-but-unused DBoW2
+capability as first-class TPU ops:
+
+  detect:   one BoW-score matmul of the query frame against the whole
+            database (vocabulary.score_against_database), with a temporal
+            gap, absolute threshold, and consecutive-hit consistency check
+            (the role of the reference's consistency groups,
+            `LoopCloser.h:17-29`).
+  sim3:     descriptor matches between the two frames -> their map points'
+            3D positions -> RANSAC Horn alignment (geometry.alignment) —
+            the drift transform between the two reconstructions of the same
+            place.
+  correct:  Sim3 pose graph over the whole trajectory (odometry edges from
+            current estimates + the loop edge), then map-point correction by
+            each point's anchor frame, then optional global BA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monocular_slam_tpu.geometry import alignment, sim3
+from monocular_slam_tpu.optim import ba as ba_mod
+from monocular_slam_tpu.optim import pose_graph
+from monocular_slam_tpu.ops import matching
+from monocular_slam_tpu.retrieval import vocabulary as vocab_mod
+from monocular_slam_tpu.slam import state as state_mod
+from monocular_slam_tpu.slam.config import SlamConfig
+from monocular_slam_tpu.slam.state import SlamState
+
+
+@dataclass
+class LoopClosureConfig:
+    min_gap: int = 15  # frames between query and candidate
+    min_score: float = 0.08  # absolute BoW score gate
+    margin: float = 0.06  # best must beat the database median by this much
+    # (random/unrelated frames share a high BoW similarity floor; a true
+    # revisit pops out of it — the role DBoW2's relative minScore plays)
+    consistency: int = 2  # consecutive frames agreeing on the same place
+    neighborhood: int = 5  # candidate agreement radius (frames)
+    sim3_iters: int = 256
+    sim3_thresh: float = 0.08  # 3D inlier radius (map units)
+    sim3_min_inliers: int = 15
+    run_global_ba: bool = True
+    global_ba_iters: int = 10
+    cooldown: int = 20  # frames to wait after a closure
+
+
+@dataclass
+class LoopCloser:
+    """Host-side loop-closure component over a SlamSession's state."""
+
+    voc: vocab_mod.Vocabulary
+    cfg: SlamConfig
+    lc: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+
+    def __post_init__(self):
+        V = self.voc.n_words
+        self._db = np.zeros((self.cfg.max_frames, V), np.float32)
+        self._bow = jax.jit(
+            lambda d, v: vocab_mod.bow_vector(self.voc, d, v)
+        )
+        self._score = jax.jit(
+            lambda q, db: vocab_mod.score_against_database(q, db, "l1")
+        )
+        self._hits: list[int] = []  # recent candidate history
+        self._cooldown_until = -1
+        self.closures: list[tuple[int, int]] = []
+
+    # --- detection ----------------------------------------------------------
+    def add_frame(self, state: SlamState, i: int) -> None:
+        q = self._bow(state.desc_pm1[i], state.kp_valid[i])
+        self._db[i] = np.asarray(q)
+
+    def detect(self, i: int) -> Optional[int]:
+        """Return a loop-candidate frame index for frame i, or None."""
+        lc = self.lc
+        if i < lc.min_gap or i < self._cooldown_until:
+            return None
+        db = jnp.asarray(self._db[: max(i - lc.min_gap, 0)])
+        if db.shape[0] == 0:
+            return None
+        scores = np.asarray(self._score(jnp.asarray(self._db[i]), db))
+        j = int(scores.argmax())
+        # Similarity floor: median for a populated database, min for a tiny
+        # one (a genuine revisit must pop out of whatever history exists).
+        floor = float(np.median(scores)) if len(scores) >= 3 else float(scores.min())
+        if scores[j] < lc.min_score or scores[j] < floor + lc.margin:
+            self._hits.append(-1)
+            return None
+        self._hits.append(j)
+        recent = self._hits[-lc.consistency :]
+        if len(recent) < lc.consistency:
+            return None
+        if all(h >= 0 and abs(h - j) <= lc.neighborhood for h in recent):
+            return j
+        return None
+
+    # --- Sim3 ---------------------------------------------------------------
+    def compute_sim3(self, state: SlamState, i: int, j: int, key):
+        """Align frame-i map geometry to frame-j map geometry via matched
+        features that both carry map points. Returns (S (3,5), n_inliers) or
+        (None, 0)."""
+        m = matching.match(
+            state.desc_pm1[i],
+            state.desc_pm1[j],
+            state.kp_valid[i],
+            state.kp_valid[j],
+            ratio=0.9,
+            max_dist=self.cfg.frontend.max_hamming,
+        )
+        pid_i = state.feat_point[i]
+        pid_j = state.feat_point[j][m.idx]
+        ok = m.ok & (pid_i >= 0) & (pid_j >= 0)
+        Xi = state.points[jnp.maximum(pid_i, 0)]
+        Xj = state.points[jnp.maximum(pid_j, 0)]
+        res = alignment.ransac_sim3(
+            key, Xi, Xj, ok,
+            n_iters=self.lc.sim3_iters,
+            thresh=self.lc.sim3_thresh,
+            min_inliers=self.lc.sim3_min_inliers,
+        )
+        if not bool(res.ok):
+            return None, int(res.n_inliers)
+        return res.S, int(res.n_inliers)
+
+    # --- correction ---------------------------------------------------------
+    def correct(self, state: SlamState, i: int, j: int, S_align) -> SlamState:
+        """Pose-graph optimize with the loop edge and correct the map.
+
+        S_align maps current (drifted, frame-i-side) world points onto the
+        frame-j-consistent world: X_j ~ S(X_i). The corrected camera i is
+        T_i' = T_i o S^{-1}; the loop edge measurement between vertices i and
+        j is S_meas_ij = (T_i o S^{-1}) o T_j^{-1} lifted to Sim3.
+        """
+        F = int(state.n_frames)
+        Fc = state.poses.shape[0]
+        verts = sim3.from_se3(state.poses)  # (Fcap, 3, 5) scale 1
+        T_i_corr = sim3.compose(sim3.from_se3(state.poses[i]), sim3.inverse(S_align))
+        meas_loop = sim3.compose(T_i_corr, sim3.inverse(sim3.from_se3(state.poses[j])))
+
+        valid = state.pose_valid & (jnp.arange(Fc) < F)
+        g = pose_graph.sequential_graph(
+            verts,
+            valid,
+            extra_i=[i],
+            extra_j=[j],
+            extra_meas=meas_loop[None],
+            loop_weight=20.0,
+        )
+        # frames beyond the ingested range must not move
+        fixed = g.fixed | ~valid
+        g = g._replace(fixed=fixed)
+        res = pose_graph.optimize(g, n_iters=20)
+        verts_new = res.vertices
+
+        # Map-point correction: move each point with its anchor frame (first
+        # observer): X' = S_new_anchor^{-1}( S_old_anchor (X) ).
+        cam_idx, pt_idx, _, _, e_valid = state_mod.observation_edges(state)
+        P = state.points.shape[0]
+        big = jnp.int32(Fc + 1)
+        anchor = jax.ops.segment_min(
+            jnp.where(e_valid, cam_idx, big), pt_idx, num_segments=P
+        )
+        has_anchor = anchor < big
+        anchor_safe = jnp.clip(anchor, 0, Fc - 1)
+        S_old = sim3.from_se3(state.poses)[anchor_safe]
+        S_new = verts_new[anchor_safe]
+        X_corr = sim3.apply(
+            sim3.inverse(S_new), sim3.apply(S_old, state.points)
+        )
+        points = jnp.where(
+            (has_anchor & state.point_valid)[:, None], X_corr, state.points
+        )
+
+        poses = sim3.to_se3(verts_new)
+        state = state._replace(
+            poses=jnp.where(valid[:, None, None], poses, state.poses),
+            points=points,
+        )
+        self.closures.append((i, j))
+        self._cooldown_until = i + self.lc.cooldown
+        self._hits.clear()
+
+        if self.lc.run_global_ba:
+            state = self._global_ba(state)
+        return state
+
+    def _global_ba(self, state: SlamState) -> SlamState:
+        cam_idx, pt_idx, uv, info, valid = state_mod.observation_edges(state)
+        prob = ba_mod.BAProblem(
+            poses=state.poses,
+            points=state.points,
+            k=state.k,
+            cam_idx=cam_idx,
+            pt_idx=pt_idx,
+            uv=uv,
+            info=info,
+            valid=valid,
+            fixed=~state.pose_valid | (jnp.arange(state.poses.shape[0]) == 0),
+        )
+        res = ba_mod.bundle_adjust(prob, n_iters=self.lc.global_ba_iters)
+        return state._replace(poses=res.poses, points=res.points)
+
+    # --- one-call driver ----------------------------------------------------
+    def run(self, state: SlamState, i: int, key) -> tuple[SlamState, bool]:
+        """DetectLoop -> ComputeSim3 -> CorrectLoop (`LoopCloser.cpp:10-17`),
+        returning (possibly corrected state, closed?)."""
+        self.add_frame(state, i)
+        j = self.detect(i)
+        if j is None:
+            return state, False
+        S, n_inl = self.compute_sim3(state, i, j, key)
+        if S is None:
+            return state, False
+        return self.correct(state, i, j, S), True

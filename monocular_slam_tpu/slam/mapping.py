@@ -1,0 +1,162 @@
+"""Local mapping hygiene: observation bookkeeping, map-point culling,
+projection-guided association (fuse), and covisibility.
+
+The reference's `LocalMapper` declared exactly this API and implemented none
+of it (`src/LocalMapper.h:30-42` — `CreateNewMapPoints`, `MapPointCulling`,
+`SearchInNeighbors`, `FrameCulling`; only the constructor exists,
+`src/LocalMapper.cpp:7-8`). Point creation lives in the tracker; this module
+supplies the rest as pure jitted functions over SlamState:
+
+  - observation_counts / anchors: derived from the feat_point back-pointers
+    with segment reductions (no separate observation store to desync);
+  - cull_points: drop points that failed to gain support (ORB-SLAM's
+    mapPointCulling rule shape: too few observations after a grace period);
+  - fuse: project the map into a frame and associate unmatched features to
+    existing points by descriptor distance within a pixel radius —
+    `SearchInNeighbors`' job; prevents the tracker from fragmenting the map
+    into duplicates when a track briefly drops;
+  - covisibility: frame-frame shared-point counts as ONE matmul (the
+    covisibility graph of ORBSLAM.png's ModelManager).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from monocular_slam_tpu.geometry import camera as cam
+from monocular_slam_tpu.geometry import se3
+from monocular_slam_tpu.slam import state as state_mod
+from monocular_slam_tpu.slam.state import SlamState
+
+
+def observation_counts(state: SlamState) -> jnp.ndarray:
+    """(P,) number of valid observations per map point."""
+    _, pt_idx, _, _, valid = state_mod.observation_edges(state)
+    P = state.points.shape[0]
+    return jax.ops.segment_sum(valid.astype(jnp.int32), pt_idx, num_segments=P)
+
+
+def point_anchors(state: SlamState) -> jnp.ndarray:
+    """(P,) first observing frame per point (capacity F if unobserved)."""
+    cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
+    P = state.points.shape[0]
+    F = state.poses.shape[0]
+    return jax.ops.segment_min(
+        jnp.where(valid, cam_idx, jnp.int32(F)), pt_idx, num_segments=P
+    )
+
+
+def point_descriptors(state: SlamState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Representative +-1 descriptor per point: the descriptor of its first
+    observation. Returns (desc_pm1 (P, 256) int8, has (P,) bool)."""
+    F, N = state.feat_point.shape
+    P = state.points.shape[0]
+    cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
+    flat_id = jnp.arange(F * N, dtype=jnp.int32)
+    big = jnp.int32(F * N)
+    first = jax.ops.segment_min(
+        jnp.where(valid, flat_id, big), pt_idx, num_segments=P
+    )
+    has = first < big
+    first_safe = jnp.minimum(first, big - 1)
+    desc = state.desc_pm1.reshape(F * N, -1)[first_safe]
+    return desc, has
+
+
+def cull_points(
+    state: SlamState, i, min_obs: int = 3, grace: int = 3
+) -> tuple[SlamState, jnp.ndarray]:
+    """Invalidate points older than `grace` frames with fewer than `min_obs`
+    observations, and clear dangling feature associations.
+
+    The `MapPointCulling` rule shape (never implemented by the reference).
+    Returns (state', n_culled).
+    """
+    counts = observation_counts(state)
+    anchors = point_anchors(state)
+    mature = anchors < (i - grace)
+    cull = state.point_valid & mature & (counts < min_obs)
+    point_valid = state.point_valid & ~cull
+    fp = state.feat_point
+    dangling = cull[jnp.maximum(fp, 0)] & (fp >= 0)
+    fp = jnp.where(dangling, -1, fp)
+    return (
+        state._replace(point_valid=point_valid, feat_point=fp),
+        jnp.sum(cull.astype(jnp.int32)),
+    )
+
+
+class FuseResult(NamedTuple):
+    state: SlamState
+    n_associated: jnp.ndarray
+
+
+def fuse(
+    state: SlamState,
+    i,
+    radius_px: float = 4.0,
+    max_hamming: int = 60,
+    image_wh=(640, 480),
+) -> FuseResult:
+    """Project all valid map points into frame i; features without a map
+    point adopt the best projecting point within `radius_px` whose
+    representative descriptor is within `max_hamming`."""
+    P = state.points.shape[0]
+    T = state.poses[i]
+    k = state.k[i]
+    Xc = se3.apply(T, state.points)  # (P, 3)
+    uv_proj = cam.project(k, Xc)
+    vis = (
+        state.point_valid
+        & (Xc[:, 2] > 1e-3)
+        & cam.in_image(uv_proj, image_wh[0], image_wh[1])
+    )
+
+    pdesc, has_desc = point_descriptors(state)
+    vis = vis & has_desc
+
+    feat_uv = state.kp_uv[i]  # (N, 2)
+    free = state.kp_valid[i] & (state.feat_point[i] < 0)
+
+    # distance gates: pixel proximity AND descriptor distance
+    d2 = jnp.sum(
+        (feat_uv[:, None, :] - uv_proj[None, :, :]) ** 2, axis=-1
+    )  # (N, P)
+    near = (d2 <= radius_px * radius_px) & vis[None, :] & free[:, None]
+
+    dots = jnp.matmul(
+        state.desc_pm1[i].astype(jnp.int8),
+        pdesc.T,
+        preferred_element_type=jnp.int32,
+    )
+    ham = (256 - dots) >> 1  # (N, P)
+    BIG = jnp.int32(1 << 20)
+    ham_gated = jnp.where(near & (ham <= max_hamming), ham, BIG)
+    best = jnp.argmin(ham_gated, axis=1)  # (N,)
+    best_d = jnp.take_along_axis(ham_gated, best[:, None], axis=1)[:, 0]
+    adopt = best_d < BIG
+
+    fp_i = jnp.where(adopt, best.astype(jnp.int32), state.feat_point[i])
+    state = state._replace(feat_point=state.feat_point.at[i].set(fp_i))
+    return FuseResult(state, jnp.sum(adopt.astype(jnp.int32)))
+
+
+def covisibility(state: SlamState) -> jnp.ndarray:
+    """(F, F) matrix of shared-map-point counts between frames — the
+    covisibility graph as one MXU matmul over the frame-point incidence."""
+    F, N = state.feat_point.shape
+    P = state.points.shape[0]
+    cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
+    inc = jnp.zeros((F, P), jnp.float32)
+    inc = inc.at[cam_idx, pt_idx].max(valid.astype(jnp.float32))
+    return jnp.matmul(inc, inc.T, preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def covisibility_window(state: SlamState, i, min_shared: int = 15) -> jnp.ndarray:
+    """(F,) bool mask of frames covisible with frame i (>= min_shared points).
+    The active-set selector for covisibility-windowed local BA (SURVEY.md 5.7)."""
+    C = covisibility(state)
+    return (C[i] >= min_shared) & state.pose_valid

@@ -32,6 +32,7 @@ class FrameStats:
     n_new_points: int
     chi2_before: float = float("nan")
     chi2_after: float = float("nan")
+    loop_closed: bool = False
 
 
 class SlamSession:
@@ -44,9 +45,16 @@ class SlamSession:
         poses, valid = sess.trajectory()
     """
 
-    def __init__(self, cfg: SlamConfig = SlamConfig(), seed: int = 0, run_ba: bool = True):
+    def __init__(
+        self,
+        cfg: SlamConfig = SlamConfig(),
+        seed: int = 0,
+        run_ba: bool = True,
+        loop_closer=None,
+    ):
         self.cfg = cfg
         self.run_ba = run_ba
+        self.loop_closer = loop_closer  # optional slam.loop_closer.LoopCloser
         self.state: SlamState = state_mod.empty_state(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.stats: list[FrameStats] = []
@@ -111,6 +119,9 @@ class SlamSession:
                 self.state = bares.state
                 st.chi2_before = float(bares.chi2_initial)
                 st.chi2_after = float(bares.chi2_final)
+        if self.loop_closer is not None and st.tracked and i >= 2:
+            self.state, closed = self.loop_closer.run(self.state, i, self._split())
+            st.loop_closed = closed
         self.stats.append(st)
         return st
 

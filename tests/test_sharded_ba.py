@@ -1,0 +1,74 @@
+"""Distributed BA tests on the 8-virtual-CPU-device mesh: the sharded Schur
+reduction must match the single-device solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monocular_slam_tpu.optim import ba, residuals
+from monocular_slam_tpu.parallel import mesh as mesh_mod
+from monocular_slam_tpu.parallel import sharded_ba
+from tests.test_ba import K, build_problem, make_scene
+
+
+@pytest.fixture(scope="module")
+def problem():
+    poses, X, uv = make_scene(jax.random.PRNGKey(30), n_frames=8, n_points=200)
+    return build_problem(poses, X, uv, 0.02, 0.05, jax.random.PRNGKey(31), pix_noise=0.3)
+
+
+class TestShardedBA:
+    def test_matches_single_device(self, problem):
+        mesh = mesh_mod.make_mesh(8)
+        res_d = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=10)
+        res_s = ba.bundle_adjust(problem, n_iters=10)
+        # Same trust-region trajectory => same final chi2 (tolerances for
+        # reduction-order float differences)
+        np.testing.assert_allclose(
+            float(res_d.chi2_history[-1]), float(res_s.chi2_history[-1]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_d.poses), np.asarray(res_s.poses), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_d.points), np.asarray(res_s.points), atol=1e-5
+        )
+
+    def test_converges(self, problem):
+        mesh = mesh_mod.make_mesh(8)
+        res = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=15)
+        assert float(res.chi2_history[-1]) < 0.05 * float(res.chi2_initial)
+        r = residuals.residual(
+            res.poses[problem.cam_idx],
+            res.points[problem.pt_idx],
+            problem.k[problem.cam_idx],
+            problem.uv,
+        )
+        rms = float(jnp.sqrt((r[problem.valid] ** 2).mean()))
+        assert rms < 0.5
+
+    def test_various_shard_counts(self, problem):
+        finals = []
+        for d in (1, 2, 4):
+            mesh = mesh_mod.make_mesh(d)
+            res = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=5)
+            finals.append(float(res.chi2_history[-1]))
+        assert np.allclose(finals, finals[0], rtol=1e-6)
+
+    def test_partition_preserves_edges(self, problem):
+        pprob, P_orig = sharded_ba.partition_problem(problem, 4)
+        assert int(pprob.valid.sum()) == int(problem.valid.sum())
+        # each edge's landmark is owned by its shard
+        slab = pprob.points.shape[0] // 4
+        e_max = pprob.valid.shape[0] // 4
+        owner = np.asarray(pprob.pt_idx) // slab
+        shard = np.arange(len(owner)) // e_max
+        v = np.asarray(pprob.valid)
+        assert (owner[v] == shard[v]).all()
+
+    def test_2d_mesh_with_data_axis(self, problem):
+        mesh = mesh_mod.make_mesh(8, data=2)
+        assert mesh.shape == {"data": 2, "model": 4}
+        res = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=5)
+        assert bool(jnp.all(jnp.isfinite(res.poses)))
