@@ -44,6 +44,7 @@ class TrackConfig:
 class BAConfig:
     window: int = 8  # local BA keyframe window
     local_iters: int = 10
+    local_max_points: int = 4096  # active-point slab capacity for local BA
     full_iters: int = 15  # FULL_BA_ITER (ParamConfig.h:18)
     pose_iters: int = 10  # POSE_BA_ITER (ParamConfig.h:15)
     huber_full: float = 5.99**0.5  # ParamConfig.h:8

@@ -61,12 +61,38 @@ def local_bundle_adjust(
         & valid_frame[cam_idx]
     )
 
+    # --- compact the active points into a small slab -----------------------
+    # The window observes at most 2W*N points, but the global point capacity
+    # P can be 10-100x larger; running BA over full capacity makes the Schur
+    # cross-term matmul and the Hpl scatter scale with P instead of with the
+    # active set (measured 3x whole-frame slowdown at P=20k). Build a rank
+    # table: active point -> slot in a fixed P_BA slab.
+    P = state.points.shape[0]
+    # Slab capacity: worst case is F2*N distinct points, but windows re-observe
+    # the same landmarks heavily; overflow edges are dropped for this call
+    # (those points simply skip one refinement).
+    P_BA = min(P, F2 * N, cfg.ba.local_max_points)
+    pt_safe = jnp.maximum(pt_idx, 0)
+    active = jnp.zeros(P, bool).at[jnp.where(valid, pt_safe, P)].set(True, mode="drop")
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # (P,) slab slot per point
+    n_active = jnp.sum(active.astype(jnp.int32))
+    overflow = rank >= P_BA  # pathological: more active points than slab
+    slab_of = jnp.where(active & ~overflow, rank, P_BA)  # P_BA = dump slot
+    # inverse map: slab slot -> global point id (for write-back)
+    inv = jnp.full(P_BA + 1, 0, jnp.int32).at[slab_of].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop"
+    )
+    points_slab = state.points[inv[:P_BA]]
+    pt_local = slab_of[pt_safe]  # (E,) edge -> slab slot (P_BA if overflow)
+    valid = valid & (pt_local < P_BA)
+    pt_local = jnp.minimum(pt_local, P_BA - 1)
+
     prob = ba.BAProblem(
         poses=poses_w,
-        points=state.points,
+        points=points_slab,
         k=k_w,
         cam_idx=cam_idx,
-        pt_idx=jnp.maximum(pt_idx, 0),
+        pt_idx=pt_local,
         uv=uv,
         info=info,
         valid=valid,
@@ -74,12 +100,15 @@ def local_bundle_adjust(
     )
     res = ba.bundle_adjust(prob, n_iters=cfg.ba.local_iters, delta=cfg.ba.huber_full)
 
-    # Write back free-frame poses and all points. Early in the run g_safe
-    # contains clamped duplicates of frame 0; route non-free slots out of
-    # bounds (drop) so duplicate writes can't clobber a real update.
+    # Write back free-frame poses and the slab points. Early in the run
+    # g_safe contains clamped duplicates of frame 0; route non-free slots out
+    # of bounds (drop) so duplicate writes can't clobber a real update.
     free = ~fixed
     F = state.poses.shape[0]
     write_idx = jnp.where(free, g_safe, jnp.int32(F))
     poses = state.poses.at[write_idx].set(res.poses, mode="drop")
-    new_state = state._replace(poses=poses, points=res.points)
+    slab_used = jnp.arange(P_BA) < n_active
+    pts_write_idx = jnp.where(slab_used, inv[:P_BA], jnp.int32(P))
+    points = state.points.at[pts_write_idx].set(res.points, mode="drop")
+    new_state = state._replace(poses=poses, points=points)
     return LocalBAResult(new_state, res.chi2_initial, res.chi2_history[-1])
