@@ -65,7 +65,10 @@ def _constraint_rows(uv1: jnp.ndarray, uv2: jnp.ndarray) -> jnp.ndarray:
 
 
 def eight_point(
-    uv1: jnp.ndarray, uv2: jnp.ndarray, weights: jnp.ndarray | None = None
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    solver: str = "eigh",
 ) -> jnp.ndarray:
     """(Weighted) eight-point algorithm with Hartley normalization and rank-2
     projection. uv1, uv2: (..., N, 2) pixel or normalized coords; weights
@@ -78,8 +81,9 @@ def eight_point(
     uv2n, T2 = hartley_normalize(uv2, mask)
     A = _constraint_rows(uv1n, uv2n) * weights[..., None]
     AtA = _mm(jnp.swapaxes(A, -1, -2), A)  # (..., 9, 9)
-    _, V = jnp.linalg.eigh(AtA)
-    f = V[..., :, 0]
+    from monocular_slam_tpu.utils.linalg import nullspace_vector
+
+    f = nullspace_vector(AtA, method=solver)
     F = f.reshape(f.shape[:-1] + (3, 3))
     # Rank-2 projection (zero the smallest singular value) — the enforcement
     # step at `src/CameraPoseEstimator.cpp:700-708`.
@@ -153,7 +157,9 @@ def ransac_fundamental(
     idx = _sample_indices(key, n_iters, 8, mask)  # (K, 8)
     s1 = uv1[idx]  # (K, 8, 2)
     s2 = uv2[idx]
-    F_h = eight_point(s1, s2)  # (K, 3, 3)
+    # Hypothesis batch uses fast inverse iteration instead of batched eigh
+    # (TPU eigh on K x 9x9 is the RANSAC bottleneck); the refit below is exact.
+    F_h = eight_point(s1, s2, solver="inv_iter")  # (K, 3, 3)
     d2 = sampson_distance(F_h, uv1[None], uv2[None])  # (K, N)
     inl = (d2 < thresh * thresh) & mask[None]
     scores = jnp.sum(inl, axis=-1)

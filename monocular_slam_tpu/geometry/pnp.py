@@ -26,7 +26,12 @@ _EPS = 1e-12
 MIN_SAMPLE = 6
 
 
-def pnp_dlt(X: jnp.ndarray, xy: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:
+def pnp_dlt(
+    X: jnp.ndarray,
+    xy: jnp.ndarray,
+    w: jnp.ndarray | None = None,
+    solver: str = "eigh",
+) -> jnp.ndarray:
     """DLT PnP from n >= 6 points. X: (..., n, 3) world points; xy: (..., n, 2)
     NORMALIZED image coords (K^-1 pixels); w: optional (..., n) weights.
     Returns (..., 3, 4) world->camera pose with R projected to SO(3).
@@ -41,18 +46,29 @@ def pnp_dlt(X: jnp.ndarray, xy: jnp.ndarray, w: jnp.ndarray | None = None) -> jn
     rows2 = jnp.concatenate([zeros, Xh, -y * Xh], axis=-1)
     A = jnp.concatenate([rows1 * w[..., None], rows2 * w[..., None]], axis=-2)  # (..., 2n, 12)
     AtA = _mm(jnp.swapaxes(A, -1, -2), A)
-    _, V = jnp.linalg.eigh(AtA)
-    p = V[..., :, 0]
+    from monocular_slam_tpu.utils.linalg import nullspace_vector
+
+    p = nullspace_vector(AtA, method=solver)
     P = p.reshape(p.shape[:-1] + (3, 4))
     # Fix sign: points must have positive depth on average.
     depth = _einsum("...ij,...nj->...ni", P, Xh)[..., 2]
     sgn = jnp.where(jnp.sum(jnp.sign(depth) * w, axis=-1) < 0, -1.0, 1.0)
     P = P * sgn[..., None, None]
     M = P[..., :3, :3]
-    # Scale so that M is a rotation: divide by the mean singular value.
-    s = jnp.linalg.svd(M, compute_uv=False)
-    scale = jnp.mean(s, axis=-1)
-    R = so3.project_to_so3(M)
+    if solver == "inv_iter":
+        # SVD-free fast path for hypothesis batches: scale from det(M)^(1/3)
+        # (det = s^3 for a scaled rotation), rotation via Newton polar
+        # iteration. Exact-path refits keep the SVD forms.
+        from monocular_slam_tpu.utils.linalg import polar_orthogonalize
+
+        det = jnp.linalg.det(M)
+        scale = jnp.cbrt(jnp.maximum(det, _EPS))
+        R = polar_orthogonalize(M / jnp.maximum(scale, _EPS)[..., None, None])
+    else:
+        # Scale so that M is a rotation: divide by the mean singular value.
+        s = jnp.linalg.svd(M, compute_uv=False)
+        scale = jnp.mean(s, axis=-1)
+        R = so3.project_to_so3(M)
     t = P[..., :3, 3] / jnp.maximum(scale, _EPS)[..., None]
     return se3.from_Rt(R, t)
 
@@ -85,7 +101,9 @@ def solve_pnp_ransac(
     xy = cam.normalize_points(k, uv)  # (N, 2)
 
     idx = _sample_indices(key, n_iters, MIN_SAMPLE, mask)  # (K, 6)
-    T_h = pnp_dlt(X[idx], xy[idx])  # (K, 3, 4)
+    # Fast approximate nullspace for the hypothesis batch; the LM refinement
+    # below polishes the winner exactly.
+    T_h = pnp_dlt(X[idx], xy[idx], solver="inv_iter")  # (K, 3, 4)
 
     # Score: reprojection error of ALL points under each hypothesis.
     Xc = se3.apply(T_h[:, None], X[None])  # (K, N, 3)

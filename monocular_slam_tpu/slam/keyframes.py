@@ -1,0 +1,87 @@
+"""Keyframe selection and frame culling.
+
+The reference processes EVERY frame through every stage (no keyframe notion —
+`src/main.cpp:48-51`) while its UML design promises keyframe insertion and
+culling (`Mapper.insertKeyFrame`, `localKeyframeCulling` in ORBSLAM.png;
+`LocalMapper::FrameCulling` declared at `src/LocalMapper.h:40`). This module
+supplies both as pure functions over SlamState:
+
+  - select_keyframes: ORB-SLAM-shaped rule — a frame becomes a keyframe when
+    its tracked-point overlap with the previous keyframe drops below a ratio
+    (the scene changed enough to deserve anchoring);
+  - cull_frames: redundant-frame rule — a frame whose observed points are
+    ~all seen by >= 3 other frames contributes nothing to the map's
+    constraint structure and can be dropped from global optimization.
+
+Keyframe flags feed loop-closure databases and global/pose-graph
+optimization; tracking itself stays per-frame (latency path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monocular_slam_tpu.slam import mapping
+from monocular_slam_tpu.slam.state import SlamState
+
+
+def tracked_overlap(state: SlamState, i, j) -> jnp.ndarray:
+    """Fraction of frame i's associated points also observed in frame j."""
+    C = mapping.covisibility(state)
+    own = jnp.maximum(C[i, i], 1)
+    return C[i, j] / own
+
+
+def select_keyframes(
+    state: SlamState, n_frames: int, overlap_thresh: float = 0.7,
+    min_gap: int = 1, max_gap: int = 15,
+) -> np.ndarray:
+    """(F,) bool keyframe flags (host-side; runs on the covisibility matrix).
+
+    Frame i is a keyframe if its point overlap with the last keyframe is
+    below `overlap_thresh`, at least `min_gap` frames passed, or `max_gap`
+    frames passed regardless (temporal anchor)."""
+    C = np.asarray(mapping.covisibility(state))
+    flags = np.zeros(state.poses.shape[0], bool)
+    valid = np.asarray(state.pose_valid)
+    last_kf = None
+    for i in range(int(n_frames)):
+        if not valid[i]:
+            continue
+        if last_kf is None:
+            flags[i] = True
+            last_kf = i
+            continue
+        own = max(C[i, i], 1)
+        overlap = C[i, last_kf] / own
+        if (overlap < overlap_thresh and i - last_kf >= min_gap) or (
+            i - last_kf >= max_gap
+        ):
+            flags[i] = True
+            last_kf = i
+    return flags
+
+
+def cull_frames(
+    state: SlamState, keyframes: np.ndarray, redundancy: float = 0.9,
+    min_other_obs: int = 3,
+) -> np.ndarray:
+    """Mark redundant keyframes: >= `redundancy` of their observed points are
+    seen by at least `min_other_obs` other frames. Returns updated flags
+    (never culls the first keyframe)."""
+    counts = np.asarray(mapping.observation_counts(state))
+    fp = np.asarray(state.feat_point)
+    kv = np.asarray(state.kp_valid)
+    flags = keyframes.copy()
+    kf_ids = np.where(flags)[0]
+    for i in kf_ids[1:]:
+        pids = fp[i][(fp[i] >= 0) & kv[i]]
+        if len(pids) == 0:
+            flags[i] = False
+            continue
+        well_observed = counts[pids] >= (min_other_obs + 1)  # +1 = itself
+        if well_observed.mean() >= redundancy:
+            flags[i] = False
+    return flags
