@@ -102,3 +102,13 @@ def in_image(uv: jnp.ndarray, width: int, height: int, margin: float = 0.0) -> j
         & (uv[..., 1] >= margin)
         & (uv[..., 1] <= height - 1 - margin)
     )
+
+
+def undistort_pixels(k: jnp.ndarray, dist: jnp.ndarray, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    """Undistort pixel coordinates: normalize -> invert radtan -> reproject.
+    The per-frame correction the reference never applies to its keypoints
+    (it only feeds distortion to solvePnPRansac, `CameraPoseEstimator.cpp:462-469`)."""
+    xy_u = undistort_radtan(dist, normalize_points(k, uv), iters=iters)
+    u = xy_u[..., 0] * k[..., 0] + k[..., 2]
+    v = xy_u[..., 1] * k[..., 1] + k[..., 3]
+    return jnp.stack([u, v], axis=-1)

@@ -78,13 +78,17 @@ def hamming_top2(
     a_pm1: jnp.ndarray,
     b_pm1: jnp.ndarray,
     b_valid: jnp.ndarray,
-    tile_n: int = 256,
-    tile_m: int = 512,
+    tile_n: int = 128,
+    tile_m: int = 128,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-row (best_dist, second_dist, best_idx) of Hamming distances
     between a (N, 256) and b (M, 256) +-1 int8 descriptor sets. Invalid B
-    columns are excluded. N, M padded to tile multiples internally."""
+    columns are excluded. N, M padded to tile multiples internally.
+
+    Default (128, 128) tiles are the validated configuration on the v5e
+    remote-compile toolchain; larger tiles currently trip its VMEM
+    accounting."""
     N, M = a_pm1.shape[0], b_pm1.shape[0]
     N_pad = -(-N // tile_n) * tile_n
     M_pad = -(-M // tile_m) * tile_m

@@ -72,6 +72,7 @@ def main(argv=None) -> int:
 
     # --- dataset ------------------------------------------------------------
     gt_poses = None
+    dist = None
     timestamps = []
     if args.dataset == "synthetic":
         from monocular_slam_tpu.datasets import synthetic
@@ -100,6 +101,7 @@ def main(argv=None) -> int:
             ("image", i, seq.k, fr.timestamp) for i, fr in enumerate(seq.frames)
         ]
         loader = seq.load_image
+        dist = seq.dist
         if all(fr.pose_gt is not None for fr in seq.frames):
             gt_poses = np.stack([fr.pose_gt for fr in seq.frames])
 
@@ -139,7 +141,7 @@ def main(argv=None) -> int:
             st = sess.add_frame_features(f, k, ts)
         else:
             _, i_img, k, ts = item
-            st = sess.add_frame(loader(i_img), k, ts)
+            st = sess.add_frame(loader(i_img), k, ts, dist=dist)
         timestamps.append(item[3])
         if args.verbose:
             print(

@@ -78,9 +78,24 @@ class SlamSession:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def add_frame_features(self, feats: orb.Features, k, timestamp: float) -> FrameStats:
+    def add_frame_features(
+        self, feats: orb.Features, k, timestamp: float, dist=None
+    ) -> FrameStats:
         """Ingest a frame from precomputed features (the fixture path — the
-        reference's CSV snapshot trick, SURVEY.md 5.4)."""
+        reference's CSV snapshot trick, SURVEY.md 5.4). `dist` (radtan
+        5-vector) undistorts keypoints before they enter the state — the
+        correction the reference only half-applied (SURVEY.md 2.4)."""
+        if dist is not None:
+            import numpy as _np
+
+            if _np.any(_np.asarray(dist) != 0):
+                from monocular_slam_tpu.geometry import camera as _cam
+
+                feats = feats._replace(
+                    uv=_cam.undistort_pixels(
+                        jnp.asarray(k), jnp.asarray(dist), feats.uv
+                    )
+                )
         i = self._next
         if i >= self.cfg.max_frames:
             raise ValueError(f"frame capacity {self.cfg.max_frames} exhausted")
@@ -125,10 +140,10 @@ class SlamSession:
         self.stats.append(st)
         return st
 
-    def add_frame(self, img, k, timestamp: float = 0.0) -> FrameStats:
+    def add_frame(self, img, k, timestamp: float = 0.0, dist=None) -> FrameStats:
         """Ingest a grayscale image (H, W) [0, 255]."""
         feats = self._extract(jnp.asarray(img, dtype=jnp.float32))
-        return self.add_frame_features(feats, k, timestamp)
+        return self.add_frame_features(feats, k, timestamp, dist=dist)
 
     # --- outputs -----------------------------------------------------------
     def trajectory(self):
