@@ -1,0 +1,114 @@
+"""Distributed-BA scaling benchmark.
+
+Measures LM iterations/sec of the landmark-sharded global BA at 1..N shards.
+On real multi-chip hardware the mesh rides ICI; in this container (one TPU
+chip) the scaling harness runs on N virtual CPU devices, which validates the
+collective structure and load balance — absolute numbers come from real
+slices.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py --frames 32 --points 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--points", type=int, default=20000)
+    p.add_argument("--obs-per-frame", type=int, default=1500)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--shards", type=int, nargs="*", default=None)
+    p.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from monocular_slam_tpu.geometry import camera, se3, so3
+    from monocular_slam_tpu.optim import ba
+    from monocular_slam_tpu.parallel import mesh as mesh_mod
+    from monocular_slam_tpu.parallel import sharded_ba
+
+    n_dev = jax.device_count()
+    shards = args.shards or [s for s in (1, 2, 4, 8) if s <= n_dev]
+
+    # synthetic global-BA problem
+    F, P, OBS = args.frames, args.points, args.obs_per_frame
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (P, 3), minval=-10, maxval=10) + jnp.array([0, 0, 20.0])
+    k = jnp.array([500.0, 500.0, 320.0, 240.0])
+    poses = jnp.stack(
+        [
+            se3.from_Rt(so3.exp(jnp.array([0.0, 0.02 * i, 0.0])), jnp.array([-0.3 * i, 0.0, 0.0]))
+            for i in range(F)
+        ]
+    )
+    # random observation pattern: OBS points per frame
+    pt_idx = jax.random.randint(jax.random.PRNGKey(1), (F * OBS,), 0, P)
+    cam_idx = jnp.repeat(jnp.arange(F, dtype=jnp.int32), OBS)
+    uv = camera.project(k, se3.apply(poses[cam_idx], X[pt_idx]))
+    uv = uv + 0.5 * jax.random.normal(jax.random.PRNGKey(2), uv.shape)
+    poses0 = se3.compose(
+        se3.exp(0.005 * jax.random.normal(jax.random.PRNGKey(3), (F, 6))), poses
+    ).at[0].set(poses[0])
+    prob = ba.BAProblem(
+        poses=poses0.astype(jnp.float32),
+        points=(X + 0.05 * jax.random.normal(jax.random.PRNGKey(4), X.shape)).astype(jnp.float32),
+        k=jnp.broadcast_to(k, (F, 4)).astype(jnp.float32),
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        uv=uv.astype(jnp.float32),
+        info=jnp.ones(F * OBS, jnp.float32),
+        valid=jnp.ones(F * OBS, bool),
+        fixed=jnp.zeros(F, bool).at[0].set(True),
+    )
+
+    results = {}
+    for s in shards:
+        mesh = mesh_mod.make_mesh(s)
+        run = lambda: sharded_ba.distributed_bundle_adjust(prob, mesh, n_iters=args.iters)
+        res = run()
+        jax.block_until_ready(res.poses)
+        t0 = time.perf_counter()
+        n_rep = 3
+        for _ in range(n_rep):
+            res = run()
+        jax.block_until_ready(res.poses)
+        dt = (time.perf_counter() - t0) / n_rep
+        iters_sec = args.iters / dt
+        results[s] = iters_sec
+        eff = iters_sec / (results[1] * s) if 1 in results and s > 1 else 1.0
+        print(
+            f"shards={s}: {dt * 1e3:7.1f} ms / {args.iters} LM iters "
+            f"-> {iters_sec:7.1f} iters/s  efficiency={eff:.2f}",
+            flush=True,
+        )
+    print(json.dumps({
+        "metric": "distributed BA LM iters/sec by shard count",
+        "frames": F, "points": P, "edges": F * OBS,
+        "results": {str(k): round(v, 2) for k, v in results.items()},
+        "devices": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
