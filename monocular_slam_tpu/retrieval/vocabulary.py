@@ -253,3 +253,12 @@ def load(path: str) -> Vocabulary:
         k=k,
         L=L,
     )
+
+
+def load_default() -> Vocabulary:
+    """Bundled 10^3-word vocabulary trained on this extractor's ORB
+    descriptors over a synthetic texture corpus (deterministic seed) — the
+    out-of-the-box analog of DBoW2's shipped ORB vocabulary."""
+    import os
+
+    return load(os.path.join(os.path.dirname(os.path.abspath(__file__)), "default_vocab.npz"))

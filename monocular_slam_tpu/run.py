@@ -61,7 +61,9 @@ def main(argv=None) -> int:
         from monocular_slam_tpu.retrieval import vocabulary as vocab_mod
         from monocular_slam_tpu.slam.loop_closer import LoopCloser
 
-        if args.vocab:
+        if args.vocab == "default":
+            voc = vocab_mod.load_default()
+        elif args.vocab:
             voc = vocab_mod.load(args.vocab)
         else:
             print("[run] no --vocab given; training a small vocabulary on the fly")
