@@ -172,11 +172,18 @@ def bundle_adjust(
     n_iters: int = FULL_BA_ITER,
     delta: float = THRESH_HUBER_FULL_BA,
     tau: float = 1e-5,
+    solve_fn=None,
 ) -> BAResult:
     """Run damped LM bundle adjustment. Fully jittable; fixed trip count with
     early-stall freeze (g2o terminates when chi2 improves < 1e-3 relative for
-    consecutive iterations, `optimization_algorithm_levenberg.cpp:154-161`)."""
+    consecutive iterations, `optimization_algorithm_levenberg.cpp:154-161`).
+
+    solve_fn(prob, lin, lam) -> (dxp, dxl, b_red) computes the damped Schur
+    step; defaults to the dense-S Cholesky (`_schur_solve`). The matrix-free
+    PCG solver in `optim/cg_ba.py` plugs in here for large graphs."""
     dtype = prob.poses.dtype
+    if solve_fn is None:
+        solve_fn = _schur_solve
 
     lin0 = _linearize_graph(prob, prob.poses, prob.points, delta)
     diag0 = jnp.concatenate(
@@ -193,7 +200,7 @@ def bundle_adjust(
         def step(operand):
             poses, points, st = operand
             lin = _linearize_graph(prob, poses, points, delta)
-            dxp, dxl, _ = _schur_solve(prob, lin, st.lam)
+            dxp, dxl, _ = solve_fn(prob, lin, st.lam)
             poses_new = se3.compose(se3.exp(dxp), poses)
             points_new = points + dxl
             chi2_new = _chi2_graph(prob, poses_new, points_new, delta)

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from monocular_slam_tpu.geometry import se3
 from monocular_slam_tpu.optim import ba as ba_mod
+from monocular_slam_tpu.optim import cg_ba
 from monocular_slam_tpu.optim import lm
 from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
 
@@ -90,6 +91,7 @@ def partition_problem(prob: ba_mod.BAProblem, n_shards: int):
 def _sharded_lm(
     poses, points_l, k, cam_idx_l, pt_idx_l, uv_l, info_l, valid_l, fixed,
     *, n_iters: int, delta: float, tau: float, slab: int,
+    solver: str = "dense", max_cg_iters: int = 100, cg_rtol: float = 1e-8,
 ):
     """shard_map body: everything suffixed _l is the device-local block."""
     dtype = poses.dtype
@@ -166,6 +168,59 @@ def _sharded_lm(
         dxl = _einsum("pij,pj->pi", Hll_inv, rhs_l)
         return dxp, dxl
 
+    def schur_solve_cg(lin, lam):
+        """Matrix-free distributed Schur solve: block-Jacobi PCG where each
+        S-matvec costs ONE psum of an (F, 6) vector — communication is
+        independent of landmark count AND of F^2 (the dense path psums the
+        full (F*6)^2 cross term every LM iteration). This is the KITTI-scale
+        path (SURVEY.md §5.7, BASELINE.json configs[3-4])."""
+        eye3 = jnp.eye(3, dtype=dtype)
+        eye6 = jnp.eye(6, dtype=dtype)
+        free = ~fixed
+        Hll_inv = jnp.linalg.inv(lin["Hll"] + lam * eye3)  # (slab, 3, 3) local
+
+        # Invalid/padded edges already have W_e == bl == 0 (their IRLS weight
+        # is zeroed in _edge_weights), so no extra masking is needed.
+        yb_p = _einsum("pij,pj->pi", Hll_inv, lin["bl"])  # (slab, 3)
+        wy_e = _einsum("eij,ej->ei", lin["W_e"], yb_p[pt_local])  # (E_l, 6)
+        b_red = lin["bp"] - jax.lax.psum(
+            jax.ops.segment_sum(wy_e, cam_idx_l, num_segments=F), "model"
+        )
+        b_red = jnp.where(free[:, None], b_red, 0.0)
+
+        # Block-Jacobi preconditioner: exact S diagonal blocks, one psum.
+        WHW_e = _mm(_mm(lin["W_e"], Hll_inv[pt_local]), jnp.swapaxes(lin["W_e"], -1, -2))
+        D = lin["Hpp"] + lam * eye6 - jax.lax.psum(
+            jax.ops.segment_sum(WHW_e, cam_idx_l, num_segments=F), "model"
+        )
+        D = jnp.where(free[:, None, None], D, eye6[None])
+        D_inv = jnp.linalg.inv(D)
+
+        def matvec(x):
+            xf = jnp.where(free[:, None], x, 0.0)
+            t1 = _einsum("fij,fj->fi", lin["Hpp"], xf) + lam * xf
+            u_e = _einsum("eij,ei->ej", lin["W_e"], xf[cam_idx_l])  # (E_l, 3)
+            s_p = jax.ops.segment_sum(u_e, pt_local, num_segments=slab)
+            y_p = _einsum("pij,pj->pi", Hll_inv, s_p)
+            v_e = _einsum("eij,ej->ei", lin["W_e"], y_p[pt_local])  # (E_l, 6)
+            t2 = jax.lax.psum(
+                jax.ops.segment_sum(v_e, cam_idx_l, num_segments=F), "model"
+            )
+            y = jnp.where(free[:, None], t1 - t2, 0.0)
+            return y + jnp.where(free[:, None], 0.0, x)
+
+        precond = lambda r: jnp.where(
+            free[:, None], _einsum("fij,fj->fi", D_inv, r), 0.0
+        )
+        dxp, _stats = cg_ba.pcg(matvec, precond, b_red, max_cg_iters, cg_rtol)
+
+        wt_dxp = _einsum("eij,ei->ej", lin["W_e"], dxp[cam_idx_l])
+        rhs_l = lin["bl"] - jax.ops.segment_sum(wt_dxp, pt_local, num_segments=slab)
+        dxl = _einsum("pij,pj->pi", Hll_inv, rhs_l)
+        return dxp, dxl
+
+    solve = schur_solve if solver == "dense" else schur_solve_cg
+
     lin0 = lin_graph(poses, points_l)
     diag0 = jnp.concatenate([
         jnp.diagonal(lin0["Hpp"], axis1=-2, axis2=-1).reshape(-1),
@@ -181,7 +236,7 @@ def _sharded_lm(
         def step(op):
             poses_c, points_c, st = op
             lin = lin_graph(poses_c, points_c)
-            dxp, dxl = schur_solve(lin, st.lam)
+            dxp, dxl = solve(lin, st.lam)
             poses_n = se3.compose(se3.exp(dxp), poses_c)
             points_n = points_c + dxl
             chi2_n = chi2_graph(poses_n, points_n)
@@ -216,11 +271,19 @@ def distributed_bundle_adjust(
     n_iters: int = ba_mod.FULL_BA_ITER,
     delta: float = ba_mod.THRESH_HUBER_FULL_BA,
     tau: float = 1e-5,
+    solver: str = "dense",
+    max_cg_iters: int = 100,
+    cg_rtol: float = 1e-8,
 ) -> ShardedBAResult:
     """Global BA with landmarks sharded over mesh axis "model".
 
     Host-side entry: partitions the problem, runs the sharded LM program,
     restores original point order.
+
+    solver="dense": replicated (F*6)^2 Cholesky per LM iteration — exact,
+    right for up to a few hundred keyframes.
+    solver="cg": matrix-free block-Jacobi PCG (`optim/cg_ba.py`) — one (F,6)
+    psum per CG step, no F^2 communication; the KITTI-scale path.
     """
     n_shards = mesh.shape["model"]
     pprob, P_orig = partition_problem(prob, n_shards)
@@ -228,7 +291,10 @@ def distributed_bundle_adjust(
 
     fn = jax.jit(
         jax.shard_map(
-            partial(_sharded_lm, n_iters=n_iters, delta=delta, tau=tau, slab=slab),
+            partial(
+                _sharded_lm, n_iters=n_iters, delta=delta, tau=tau, slab=slab,
+                solver=solver, max_cg_iters=max_cg_iters, cg_rtol=cg_rtol,
+            ),
             mesh=mesh,
             in_specs=(
                 P(),  # poses replicated

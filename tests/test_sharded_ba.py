@@ -72,3 +72,45 @@ class TestShardedBA:
         assert mesh.shape == {"data": 2, "model": 4}
         res = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=5)
         assert bool(jnp.all(jnp.isfinite(res.poses)))
+
+
+class TestShardedCGBA:
+    """solver="cg": the matrix-free distributed Schur path must match both the
+    sharded dense path and the single-device CG path."""
+
+    def test_matches_single_device_cg(self, problem):
+        from monocular_slam_tpu.optim import cg_ba
+
+        mesh = mesh_mod.make_mesh(8)
+        res_d = sharded_ba.distributed_bundle_adjust(
+            problem, mesh, n_iters=10, solver="cg", max_cg_iters=300, cg_rtol=1e-13
+        )
+        res_s = cg_ba.bundle_adjust_cg(problem, n_iters=10, max_cg_iters=300, rtol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(res_d.chi2_history), np.asarray(res_s.chi2_history), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(res_d.poses), np.asarray(res_s.poses), atol=1e-6)
+
+    def test_matches_sharded_dense(self, problem):
+        mesh = mesh_mod.make_mesh(8)
+        res_cg = sharded_ba.distributed_bundle_adjust(
+            problem, mesh, n_iters=10, solver="cg", max_cg_iters=300, cg_rtol=1e-13
+        )
+        res_de = sharded_ba.distributed_bundle_adjust(problem, mesh, n_iters=10)
+        np.testing.assert_allclose(
+            float(res_cg.chi2_history[-1]), float(res_de.chi2_history[-1]), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(res_cg.poses), np.asarray(res_de.poses), atol=1e-5)
+
+    def test_converges_sparse_visibility(self):
+        from tests.test_cg_ba import make_problem
+
+        prob = make_problem(jax.random.PRNGKey(40), n_frames=16, n_points=600, vis=0.25)
+        mesh = mesh_mod.make_mesh(8)
+        res = sharded_ba.distributed_bundle_adjust(
+            prob, mesh, n_iters=40, solver="cg", max_cg_iters=60, cg_rtol=1e-8
+        )
+        # single-device LM plateaus at ~0.24x initial on this problem (same
+        # trajectory, verified in test_matches_single_device_cg)
+        assert float(res.chi2_history[-1]) < 0.3 * float(res.chi2_initial)
+        assert bool(jnp.all(jnp.isfinite(res.poses)))
