@@ -76,7 +76,12 @@ def log(R: jnp.ndarray) -> jnp.ndarray:
     # tangent at cos = 1 (identity rotation) which poisons autodiff through
     # log — e.g. pose-graph Jacobians evaluated at zero residual. atan2 is
     # smooth there. |vee(R - R^T)| = 2 sin(theta).
-    sin_t = 0.5 * jnp.sqrt(jnp.sum(antisym * antisym, axis=-1) + 1e-40)
+    # Guard must be a NORMAL number in the working dtype: 1e-40 underflows to
+    # a (often flushed-to-zero) denormal in f32, making d/dq sqrt(q+guard)
+    # infinite at q == 0 — exactly-symmetric residual rotations then poison
+    # every pose-graph Jacobian with NaN (seen on TPU/CPU f32).
+    tiny = jnp.finfo(R.dtype).tiny
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(antisym * antisym, axis=-1) + tiny)
     theta = jnp.arctan2(sin_t, cos_t)
 
     # Generic branch: w = theta/(2 sin t) * vee(R - R^T)

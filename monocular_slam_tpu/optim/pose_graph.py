@@ -145,6 +145,109 @@ def optimize(g: PoseGraph, n_iters: int = 20, tau: float = 1e-5) -> PoseGraphRes
     return PoseGraphResult(verts, chi2_0, chi2_h)
 
 
+def _linearize_blocks(g: PoseGraph, verts):
+    """Edge-block linearization for the matrix-free path: returns residuals,
+    per-edge Jacobians, weights, gradient b (F,7), block-diagonal of H
+    (F,7,7), and chi2 — never materializing the (F*7)^2 Hessian."""
+    F = verts.shape[0]
+    S_i = verts[g.i_idx]
+    S_j = verts[g.j_idx]
+    r = _res_batch(S_i, S_j, g.meas)  # (E, 7)
+    z7 = jnp.zeros(7, dtype=verts.dtype)
+    Ji = _jac_i(z7, z7, S_i, S_j, g.meas)  # (E, 7, 7)
+    Jj = _jac_j(z7, z7, S_i, S_j, g.meas)
+    w = jnp.where(g.valid, g.weight, 0.0)
+    chi2 = jnp.sum(jnp.sum(r * r, axis=-1) * w)
+
+    bi = -_einsum("eai,ea,e->ei", Ji, r, w)
+    bj = -_einsum("eai,ea,e->ei", Jj, r, w)
+    b = jnp.zeros((F, 7), dtype=verts.dtype)
+    b = b.at[g.i_idx].add(bi).at[g.j_idx].add(bj)
+
+    Hii = _einsum("eai,eaj,e->eij", Ji, Ji, w)
+    Hjj = _einsum("eai,eaj,e->eij", Jj, Jj, w)
+    D = jnp.zeros((F, 7, 7), dtype=verts.dtype)
+    D = D.at[g.i_idx].add(Hii).at[g.j_idx].add(Hjj)
+    return dict(r=r, Ji=Ji, Jj=Jj, w=w, chi2=chi2, b=b, D=D)
+
+
+def _hessian_matvec(g: PoseGraph, lin, lam, free, x):
+    """y = (H + lam I) x, gauge-masked, as two edge-batched scatter-adds.
+    O(E) work and memory — the pose-graph analog of `cg_ba.schur_matvec`."""
+    F = x.shape[0]
+    xf = jnp.where(free[:, None], x, 0.0)
+    # g_e = w * (Ji x_i + Jj x_j): the edge's contribution in residual space
+    ge = lin["w"][:, None] * (
+        _einsum("eai,ei->ea", lin["Ji"], xf[g.i_idx])
+        + _einsum("eai,ei->ea", lin["Jj"], xf[g.j_idx])
+    )  # (E, 7)
+    yi = _einsum("eai,ea->ei", lin["Ji"], ge)
+    yj = _einsum("eai,ea->ei", lin["Jj"], ge)
+    y = jnp.zeros_like(x).at[g.i_idx].add(yi).at[g.j_idx].add(yj) + lam * xf
+    y = jnp.where(free[:, None], y, 0.0)
+    return y + jnp.where(free[:, None], 0.0, x)
+
+
+def optimize_cg(
+    g: PoseGraph,
+    n_iters: int = 20,
+    tau: float = 1e-5,
+    max_cg_iters: int = 100,
+    rtol: float = 1e-8,
+) -> PoseGraphResult:
+    """Large-scale pose-graph LM: block-Jacobi PCG on (H + lam I) dx = b,
+    matrix-free. Handles KITTI-scale graphs (10k+ keyframes) where the dense
+    (7F)^2 Cholesky of `optimize` cannot (SURVEY.md §5.7). Same LM schedule."""
+    from monocular_slam_tpu.optim import cg_ba  # local import: avoid cycle
+
+    dtype = g.vertices.dtype
+    free = ~g.fixed
+    eye7 = jnp.eye(7, dtype=dtype)
+
+    lin0 = _linearize_blocks(g, g.vertices)
+    lam0 = lm.init_lambda(jnp.diagonal(lin0["D"], axis1=-2, axis2=-1).reshape(-1), tau)
+
+    def solve(lin, lam):
+        D = lin["D"] + lam * eye7
+        D = jnp.where(free[:, None, None], D, eye7[None])
+        D_inv = jnp.linalg.inv(D)
+        matvec = lambda x: _hessian_matvec(g, lin, lam, free, x)
+        precond = lambda r: jnp.where(
+            free[:, None], _einsum("fij,fj->fi", D_inv, r), 0.0
+        )
+        b = jnp.where(free[:, None], lin["b"], 0.0)
+        dx, _ = cg_ba.pcg(matvec, precond, b, max_cg_iters, rtol)
+        return dx, b
+
+    def body(carry, _):
+        verts, st = carry
+
+        def step(op):
+            verts, st = op
+            lin = _linearize_blocks(g, verts)
+            dx, b = solve(lin, st.lam)
+            verts_new = sim3.compose(sim3.exp(dx), verts)
+            chi2_new = _chi2(g, verts_new)
+            rho = lm.gain_ratio(lin["chi2"], chi2_new, dx.reshape(-1), b.reshape(-1), st.lam)
+            accept = (chi2_new < lin["chi2"]) & jnp.isfinite(chi2_new)
+            lam_n, nu_n = lm.lm_step_accept(st.lam, st.nu, rho, accept)
+            verts_o = jnp.where(accept, verts_new, verts)
+            chi2_o = jnp.where(accept, chi2_new, lin["chi2"])
+            stall = accept & (lin["chi2"] - chi2_new < 1e-9 * (lin["chi2"] + 1e-30))
+            return verts_o, lm.LMState(lam_n, nu_n, chi2_o, st.it + 1, st.done | stall)
+
+        def frozen(op):
+            verts, st = op
+            return verts, st._replace(it=st.it + 1)
+
+        verts, st = jax.lax.cond(st.done, frozen, step, (verts, st))
+        return (verts, st), st.chi2
+
+    st0 = lm.LMState(lam0, jnp.asarray(2.0, dtype), lin0["chi2"], jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    (verts, st), chi2_h = jax.lax.scan(body, (g.vertices, st0), None, length=n_iters)
+    return PoseGraphResult(verts, lin0["chi2"], chi2_h)
+
+
 def sequential_graph(
     poses_sim3: jnp.ndarray,
     valid: jnp.ndarray,
