@@ -65,3 +65,51 @@ class TestHammingKernel:
         bv = jnp.zeros(64, bool)
         d1, d2, idx = hamming.hamming_top2(a, b, bv, tile_n=32, tile_m=32, interpret=True)
         assert (np.asarray(d1) >= (1 << 20)).all()
+
+
+class TestFastScoreKernel:
+    """Fused FAST-9 score+NMS kernel vs the XLA path (ops/fast.py)."""
+
+    def _image(self, key, h=96, w=160):
+        # smooth background + sharp corners so FAST has real responses
+        img = 40.0 * jax.random.uniform(key, (h, w))
+        img = img.at[20:40, 30:50].add(120.0)
+        img = img.at[60:63, 100:140].add(90.0)
+        img = img.at[75, 20].add(150.0)
+        return img
+
+    def test_score_nms_matches_xla(self):
+        from monocular_slam_tpu.ops import fast
+        from monocular_slam_tpu.ops.pallas import fast_score
+
+        img = self._image(jax.random.PRNGKey(7))
+        ref = fast.nms3(fast.corner_score(img, 20.0))
+        out = fast_score.corner_score_nms(img, 20.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        assert float(ref.max()) > 20.0  # the scene actually has corners
+
+    def test_detect_matches_xla(self):
+        from monocular_slam_tpu.ops import fast
+        from monocular_slam_tpu.ops.pallas import fast_score
+
+        img = self._image(jax.random.PRNGKey(8))
+        ref = fast.detect(img, 64, 20.0)
+        out = fast_score.detect(img, 64, 20.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(out.valid))
+        v = np.asarray(ref.valid)
+        np.testing.assert_allclose(
+            np.asarray(ref.score)[v], np.asarray(out.score)[v], atol=1e-5
+        )
+        # positions agree as sets (top_k tie order may differ)
+        ref_set = {tuple(p) for p in np.asarray(ref.yx)[v].astype(int)}
+        out_set = {tuple(p) for p in np.asarray(out.yx)[v].astype(int)}
+        assert ref_set == out_set
+
+    def test_nonaligned_shape(self):
+        from monocular_slam_tpu.ops import fast
+        from monocular_slam_tpu.ops.pallas import fast_score
+
+        img = self._image(jax.random.PRNGKey(9), h=101, w=173)
+        ref = fast.nms3(fast.corner_score(img, 15.0))
+        out = fast_score.corner_score_nms(img, 15.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
