@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from monocular_slam_tpu.geometry import se3
 from monocular_slam_tpu.optim import lm, residuals, robust
+from monocular_slam_tpu.utils.linalg import inv3x3
 from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
 
 # Reference hyperparameters (`src/ParamConfig.h:7-8,17-18`)
@@ -124,28 +125,26 @@ def _schur_solve(prob: BAProblem, lin, lam):
     Hpp_d = lin["Hpp"] + lam * eye6  # (F, 6, 6)
     Hll_d = lin["Hll"] + lam * eye3  # (P, 3, 3) — lambda floor keeps
     # zero-observation landmark blocks invertible; their bl is 0 so dxl = 0.
-    Hll_inv = jnp.linalg.inv(Hll_d)  # batched 3x3
+    Hll_inv = inv3x3(Hll_d)  # batched closed-form (TPU: 80x faster than LU)
 
     # Y_e = W_e Hll^{-1}[pt(e)] — g2o's per-landmark elimination
     # (`block_solver.hpp:381-432`) becomes a batched 6x3 @ 3x3.
     Y_e = _mm(lin["W_e"], Hll_inv[prob.pt_idx])  # (E, 6, 3)
 
-    # Dense Hpl and Y as (F*6, P*3) via scatter-add, then ONE matmul for the
-    # Schur cross terms: S -= Y U^T rides the MXU.
     def scatter_fp(blocks):  # (E, 6, 3) -> (F, 6, P, 3)
         out = jnp.zeros((F, 6, P, 3), dtype=dtype)
         return out.at[prob.cam_idx, :, prob.pt_idx, :].add(blocks)
 
     U = scatter_fp(lin["W_e"]).reshape(F * 6, P * 3)
     Y = scatter_fp(Y_e).reshape(F * 6, P * 3)
-
-    S = jnp.zeros((F, 6, F, 6), dtype=dtype)
-    S = S.at[jnp.arange(F), :, jnp.arange(F), :].set(Hpp_d)
-    S = S.reshape(F * 6, F * 6) - _mm(Y, U.T)
-
     # b_red = bp - sum_l Y_il bl_l (edge-wise segment sum)
     yb_e = _einsum("eij,ej->ei", Y_e, lin["bl"][prob.pt_idx])  # (E, 6)
     b_red = lin["bp"] - jax.ops.segment_sum(yb_e, prob.cam_idx, num_segments=F)
+
+    # ONE matmul for the Schur cross terms: S -= Y U^T rides the MXU.
+    S = jnp.zeros((F, 6, F, 6), dtype=dtype)
+    S = S.at[jnp.arange(F), :, jnp.arange(F), :].set(Hpp_d)
+    S = S.reshape(F * 6, F * 6) - _mm(Y, U.T)
 
     # Gauge fixing: identity rows/cols for fixed poses (frame 0 in the
     # reference, `src/Util.cpp:69-77`).

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from monocular_slam_tpu.optim import ba as ba_mod
+from monocular_slam_tpu.utils.linalg import inv3x3
 from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
 
 
@@ -149,7 +150,7 @@ def make_cg_solve_fn(max_cg_iters: int = 100, rtol: float = 1e-8):
         free = ~prob.fixed
 
         Hll_d = lin["Hll"] + lam * jnp.eye(3, dtype=dtype)
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = inv3x3(Hll_d)
 
         # b_red = bp − W Hll^{-1} bl (gauge-masked), same reduction as the
         # dense path (`optim/ba.py:_schur_solve`).

@@ -33,6 +33,7 @@ from monocular_slam_tpu.geometry import se3
 from monocular_slam_tpu.optim import ba as ba_mod
 from monocular_slam_tpu.optim import cg_ba
 from monocular_slam_tpu.optim import lm
+from monocular_slam_tpu.utils.linalg import inv3x3
 from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
 
 
@@ -127,7 +128,7 @@ def _sharded_lm(
         eye3 = jnp.eye(3, dtype=dtype)
         Hpp_d = lin["Hpp"] + lam * eye6
         Hll_d = lin["Hll"] + lam * eye3  # (slab, 3, 3) local
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = inv3x3(Hll_d)
         Y_e = _mm(lin["W_e"], Hll_inv[pt_local])  # (E_l, 6, 3)
 
         def scatter_fp(blocks):
@@ -177,7 +178,7 @@ def _sharded_lm(
         eye3 = jnp.eye(3, dtype=dtype)
         eye6 = jnp.eye(6, dtype=dtype)
         free = ~fixed
-        Hll_inv = jnp.linalg.inv(lin["Hll"] + lam * eye3)  # (slab, 3, 3) local
+        Hll_inv = inv3x3(lin["Hll"] + lam * eye3)  # (slab, 3, 3) local
 
         # Invalid/padded edges already have W_e == bl == 0 (their IRLS weight
         # is zeroed in _edge_weights), so no extra masking is needed.
