@@ -29,6 +29,9 @@ def log(*a):
 
 
 def main():
+    from monocular_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from monocular_slam_tpu.datasets import synthetic
     from monocular_slam_tpu.slam import local_ba, tracker
     from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig

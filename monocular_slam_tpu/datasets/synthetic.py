@@ -93,10 +93,15 @@ def feature_sequence(
             & camera.in_image(uv, W, H, margin=4.0)
             & (jax.random.uniform(k2, (n_world_points,)) > drop_prob)
         )
-        # stable order: take first n_features visible points
+        # stable order: take first n_features visible points; if the world
+        # has fewer points than feature capacity, pad with invalid slots
         order = jnp.argsort(~vis)  # visible first (False < True)
+        if n_world_points < n_features:
+            order = jnp.concatenate(
+                [order, jnp.zeros(n_features - n_world_points, order.dtype)]
+            )
         sel = order[:n_features]
-        valid = vis[sel]
+        valid = vis[sel] & (jnp.arange(n_features) < n_world_points)
         bits = desc_bits[sel]
         if desc_flip_bits > 0:
             flip_idx = jax.random.randint(k3, (n_features, desc_flip_bits), 0, 256)

@@ -167,11 +167,13 @@ def _schur_solve(prob: BAProblem, lin, lam):
 
 
 def bundle_adjust(
-    prob: BAProblem,
+    prob,
     n_iters: int = FULL_BA_ITER,
     delta: float = THRESH_HUBER_FULL_BA,
     tau: float = 1e-5,
     solve_fn=None,
+    linearize_fn=None,
+    chi2_fn=None,
 ) -> BAResult:
     """Run damped LM bundle adjustment. Fully jittable; fixed trip count with
     early-stall freeze (g2o terminates when chi2 improves < 1e-3 relative for
@@ -179,12 +181,19 @@ def bundle_adjust(
 
     solve_fn(prob, lin, lam) -> (dxp, dxl, b_red) computes the damped Schur
     step; defaults to the dense-S Cholesky (`_schur_solve`). The matrix-free
-    PCG solver in `optim/cg_ba.py` plugs in here for large graphs."""
+    PCG solver in `optim/cg_ba.py` plugs in here for large graphs; the
+    scatter-free window layout in `optim/window_ba.py` plugs in its own
+    linearize/chi2/solve trio (same `lin` dict contract: chi2, Hpp, Hll,
+    bp, bl, W_e)."""
     dtype = prob.poses.dtype
     if solve_fn is None:
         solve_fn = _schur_solve
+    if linearize_fn is None:
+        linearize_fn = _linearize_graph
+    if chi2_fn is None:
+        chi2_fn = _chi2_graph
 
-    lin0 = _linearize_graph(prob, prob.poses, prob.points, delta)
+    lin0 = linearize_fn(prob, prob.poses, prob.points, delta)
     diag0 = jnp.concatenate(
         [
             jnp.diagonal(lin0["Hpp"], axis1=-2, axis2=-1).reshape(-1),
@@ -198,11 +207,11 @@ def bundle_adjust(
 
         def step(operand):
             poses, points, st = operand
-            lin = _linearize_graph(prob, poses, points, delta)
+            lin = linearize_fn(prob, poses, points, delta)
             dxp, dxl, _ = solve_fn(prob, lin, st.lam)
             poses_new = se3.compose(se3.exp(dxp), poses)
             points_new = points + dxl
-            chi2_new = _chi2_graph(prob, poses_new, points_new, delta)
+            chi2_new = chi2_fn(prob, poses_new, points_new, delta)
             dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
             b_all = jnp.concatenate([lin["bp"].reshape(-1), lin["bl"].reshape(-1)])
             rho = lm.gain_ratio(lin["chi2"], chi2_new, dx_all, b_all, st.lam)

@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     import jax
     import numpy as np
 
+    from monocular_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from monocular_slam_tpu.eval import ate as ate_mod
     from monocular_slam_tpu.io import ply, trajectory
     from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig

@@ -50,13 +50,34 @@ class BAConfig:
     huber_full: float = 5.99**0.5  # ParamConfig.h:8
     huber_pose: float = 5.991**0.5  # ParamConfig.h:10
     chi2_gate: float = 5.991  # ParamConfig.h:12
+    use_covisibility: bool = True  # covisibility-ranked window (SURVEY.md 5.7)
+    # vs pure time window; after a loop closure time-adjacent != covisible
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local-mapping hygiene — the `LocalMapper` stage the reference declared
+    but never implemented (`src/LocalMapper.h:30-42`)."""
+
+    enabled: bool = True
+    fuse_every: int = 4  # frames between SearchInNeighbors-style fuse passes
+    cull_every: int = 8  # frames between MapPointCulling passes
+    cull_min_obs: int = 3  # observations required to survive culling
+    cull_grace: int = 3  # frames of immunity for a new point
+    fuse_radius_px: float = 4.0
+    fuse_max_hamming: int = 60
+    # keyframe selection (Mapper.insertKeyFrame in ORBSLAM.png)
+    keyframe_overlap: float = 0.7  # new KF when overlap with last KF drops below
+    keyframe_max_gap: int = 15
 
 
 @dataclass(frozen=True)
 class SlamConfig:
     max_frames: int = 128
     max_points: int = 20000
+    image_wh: tuple = (640, 480)
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     init: InitConfig = field(default_factory=InitConfig)
     track: TrackConfig = field(default_factory=TrackConfig)
     ba: BAConfig = field(default_factory=BAConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)

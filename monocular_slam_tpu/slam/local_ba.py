@@ -1,12 +1,25 @@
-"""Windowed local bundle adjustment over the SlamState.
+"""Per-frame windowed local bundle adjustment.
 
 The reference's `Optimiser` stage re-runs FULL global BA after every frame
 (`src/Optimiser.cpp:6-18`) — O(T^2) over a trajectory (SURVEY.md 5.7). Here
-the per-frame refinement is a sliding window: the last `window` frames are
-free, the `window` frames before them participate with FIXED poses (so map
-points shared with older frames stay consistent), and all map points observed
-by the window are free. Fixed-capacity problem: 2*window camera slots,
-2*window*N edge slots, full point capacity (padded blocks are masked).
+the per-frame refinement is a fixed-size window: the W frames most covisible
+with the current frame (including it) are free, the next W are fixed
+anchors, and all map points observed by the window are free.
+
+Two-stage layout, each chosen by TPU measurement:
+
+1. **Slab compaction** — the window observes <= 2W*N landmarks but the global
+   point capacity P is 10-100x larger; BA arrays sized by P make every
+   landmark-side op pay for dead capacity (measured 2.2x whole-solve slowdown
+   at P=20k vs a 4k slab). One P-length cumsum ranks active points into a
+   fixed-capacity slab, once per solve.
+2. **Scatter-free LM iterations** — the slab problem runs on the structured
+   (frame, feature) engine (`optim/window_ba.py`): landmark reductions ride a
+   (P_slab, 2W) observation table built with ONE scatter per solve, so the
+   10-iteration LM loop contains only gathers, einsums, and one MXU matmul
+   for the Schur cross term. The generic edge-list engine (`optim/ba.py`)
+   rebuilt a dense (F,6,P,3) Schur operand with two scatter-adds EVERY
+   iteration — measured 3.6 ms of the 5.7 ms iteration at W=8, N=1000.
 
 Global BA (`optim.ba.global_bundle_adjust`) remains available for loop
 closure and final refinement.
@@ -19,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from monocular_slam_tpu.optim import ba
+from monocular_slam_tpu.optim import window_ba
 from monocular_slam_tpu.slam.config import SlamConfig
 from monocular_slam_tpu.slam.state import SlamState
 
@@ -30,75 +43,121 @@ class LocalBAResult(NamedTuple):
     chi2_final: jnp.ndarray
 
 
+def _covisibility_row(state: SlamState, i) -> jnp.ndarray:
+    """(F,) shared-valid-map-point counts between frame i and every frame.
+
+    Cheaper than `mapping.covisibility_row` for one row: one N-sized scatter
+    into a (P,) seen-mask + one (F, N) gather — no (F, P) incidence build.
+    """
+    P = state.points.shape[0]
+    fp_i = state.feat_point[i]
+    ok_i = (fp_i >= 0) & state.kp_valid[i]
+    seen = jnp.zeros(P, bool).at[jnp.where(ok_i, fp_i, P)].set(True, mode="drop")
+    fp = state.feat_point  # (F, N)
+    hit = (fp >= 0) & state.kp_valid & seen[jnp.maximum(fp, 0)]
+    return jnp.sum(hit.astype(jnp.int32), axis=1)
+
+
+def _select_window(state: SlamState, i, cfg: SlamConfig):
+    """Pick the 2W-slot active window around frame i.
+
+    Covisibility mode (default): rank past frames by shared-map-point count
+    with frame i (the SURVEY.md §5.7 active-set selector); the W most
+    covisible (always including i) are FREE, the next W are fixed anchors.
+    After a loop closure, time-adjacent != covisible, so this keeps the
+    window meaningful. Time mode: the reference-shaped sliding window —
+    frames (i-2W, i] with the older half fixed.
+
+    Returns (g_safe (2W,), valid_frame (2W,), fixed (2W,)).
+    """
+    W = cfg.ba.window
+    F2 = 2 * W
+    slot = jnp.arange(F2, dtype=jnp.int32)
+
+    if cfg.ba.use_covisibility:
+        F = state.poses.shape[0]
+        row = _covisibility_row(state, i)  # (F,)
+        past = (jnp.arange(F, dtype=jnp.int32) < i) & state.pose_valid
+        # frame i leads; ties between equally-covisible frames break toward
+        # recency so pure odometry degenerates to the sliding window.
+        score = jnp.where(past, row.astype(jnp.float32), -1.0)
+        score = score + jnp.arange(F, dtype=jnp.float32) / F
+        score = score.at[jnp.maximum(i, 0)].set(jnp.float32(3e38))
+        vals, g_idx = jax.lax.top_k(score, F2)
+        g_safe = g_idx.astype(jnp.int32)
+        valid_frame = (vals > 0.0) & state.pose_valid[g_safe]
+        free = (slot < W) & valid_frame
+    else:
+        base = i - (F2 - 1)
+        g_idx = base + slot  # oldest..newest
+        g_ok = g_idx >= 0
+        g_safe = jnp.maximum(g_idx, 0)
+        valid_frame = g_ok & state.pose_valid[g_safe]
+        free = (slot >= W) & valid_frame
+
+    # Frame 0 is the gauge anchor whenever it lands in the window — the
+    # reference pins it in every BA (`src/Util.cpp:69-77`).
+    fixed = ~free | (g_safe == 0)
+    return g_safe, valid_frame, fixed
+
+
 def local_bundle_adjust(
     state: SlamState, i, cfg: SlamConfig
 ) -> LocalBAResult:
-    """Adjust poses of frames (i-window, i] and their map points; frames
-    (i-2*window, i-window] are fixed anchors. `i` is a traced int."""
-    W = cfg.ba.window
+    """Adjust poses of the W frames most covisible with frame i (including i)
+    and their map points; the next-W covisible frames are fixed anchors.
+    `i` is a traced int."""
     N = state.feat_point.shape[1]
-    F2 = 2 * W
+    F2 = 2 * cfg.ba.window
 
-    # Window slots w = 0..2W-1 map to global frames i - (2W-1) + w.
-    base = i - (F2 - 1)
-    g_idx = base + jnp.arange(F2, dtype=jnp.int32)  # (2W,)
-    g_ok = g_idx >= 0
-    g_safe = jnp.maximum(g_idx, 0)
+    g_safe, valid_frame, fixed = _select_window(state, i, cfg)
 
-    poses_w = state.poses[g_safe]  # (2W, 3, 4)
-    k_w = state.k[g_safe]
-    valid_frame = g_ok & state.pose_valid[g_safe]
-    fixed = (jnp.arange(F2, dtype=jnp.int32) < W) | ~valid_frame  # anchors + padding fixed
-
-    # Edges: all feature slots of the window frames.
-    cam_idx = jnp.repeat(jnp.arange(F2, dtype=jnp.int32), N)
-    pt_idx = state.feat_point[g_safe].reshape(-1)
-    uv = state.kp_uv[g_safe].reshape(F2 * N, 2)
-    info = (1.0 / state.kp_scale[g_safe].reshape(-1)).astype(uv.dtype)
+    pt_slot = state.feat_point[g_safe]  # (2W, N), -1 for none
     valid = (
-        (pt_idx >= 0)
-        & state.kp_valid[g_safe].reshape(-1)
-        & valid_frame[cam_idx]
+        (pt_slot >= 0)
+        & state.kp_valid[g_safe]
+        & valid_frame[:, None]
+        & state.point_valid[jnp.maximum(pt_slot, 0)]
     )
 
     # --- compact the active points into a small slab -----------------------
-    # The window observes at most 2W*N points, but the global point capacity
-    # P can be 10-100x larger; running BA over full capacity makes the Schur
-    # cross-term matmul and the Hpl scatter scale with P instead of with the
-    # active set (measured 3x whole-frame slowdown at P=20k). Build a rank
-    # table: active point -> slot in a fixed P_BA slab.
+    # Slab capacity: worst case is F2*N distinct points, but windows
+    # re-observe the same landmarks heavily; overflow edges are dropped for
+    # this call (those points simply skip one refinement).
     P = state.points.shape[0]
-    # Slab capacity: worst case is F2*N distinct points, but windows re-observe
-    # the same landmarks heavily; overflow edges are dropped for this call
-    # (those points simply skip one refinement).
     P_BA = min(P, F2 * N, cfg.ba.local_max_points)
-    pt_safe = jnp.maximum(pt_idx, 0)
-    active = jnp.zeros(P, bool).at[jnp.where(valid, pt_safe, P)].set(True, mode="drop")
-    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # (P,) slab slot per point
+    pt_safe = jnp.maximum(pt_slot, 0)
+    active = (
+        jnp.zeros(P, bool)
+        .at[jnp.where(valid, pt_slot, P)]
+        .set(True, mode="drop")
+    )
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1  # (P,) slab slot
     n_active = jnp.sum(active.astype(jnp.int32))
-    overflow = rank >= P_BA  # pathological: more active points than slab
+    overflow = rank >= P_BA
     slab_of = jnp.where(active & ~overflow, rank, P_BA)  # P_BA = dump slot
     # inverse map: slab slot -> global point id (for write-back)
     inv = jnp.full(P_BA + 1, 0, jnp.int32).at[slab_of].set(
         jnp.arange(P, dtype=jnp.int32), mode="drop"
     )
     points_slab = state.points[inv[:P_BA]]
-    pt_local = slab_of[pt_safe]  # (E,) edge -> slab slot (P_BA if overflow)
+    pt_local = slab_of[pt_safe]  # (2W, N) slab slot (P_BA if overflow)
     valid = valid & (pt_local < P_BA)
     pt_local = jnp.minimum(pt_local, P_BA - 1)
 
-    prob = ba.BAProblem(
-        poses=poses_w,
+    prob = window_ba.build(
+        poses=state.poses[g_safe],
         points=points_slab,
-        k=k_w,
-        cam_idx=cam_idx,
-        pt_idx=pt_local,
-        uv=uv,
-        info=info,
+        k=state.k[g_safe],
+        pt_slot=pt_local,
+        uv=state.kp_uv[g_safe],
+        info=(1.0 / state.kp_scale[g_safe]).astype(state.kp_uv.dtype),
         valid=valid,
         fixed=fixed,
     )
-    res = ba.bundle_adjust(prob, n_iters=cfg.ba.local_iters, delta=cfg.ba.huber_full)
+    res = window_ba.bundle_adjust(
+        prob, n_iters=cfg.ba.local_iters, delta=cfg.ba.huber_full
+    )
 
     # Write back free-frame poses and the slab points. Early in the run
     # g_safe contains clamped duplicates of frame 0; route non-free slots out

@@ -67,13 +67,21 @@ class LoopCloser:
 
     def __post_init__(self):
         V = self.voc.n_words
-        self._db = np.zeros((self.cfg.max_frames, V), np.float32)
+        # Device-resident BoW database, padded to frame capacity so the
+        # scoring program compiles ONCE (a `db[:i]` slice would recompile
+        # per frame — a new shape every call).
+        self._db = jnp.zeros((self.cfg.max_frames, V), jnp.float32)
         self._bow = jax.jit(
             lambda d, v: vocab_mod.bow_vector(self.voc, d, v)
         )
-        self._score = jax.jit(
-            lambda q, db: vocab_mod.score_against_database(q, db, "l1")
-        )
+        self._insert = jax.jit(lambda db, i, q: db.at[i].set(q))
+
+        def _score_masked(q, db, n_valid):
+            s = vocab_mod.score_against_database(q, db, "l1")
+            rows = jnp.arange(db.shape[0])
+            return jnp.where(rows < n_valid, s, -jnp.inf)
+
+        self._score = jax.jit(_score_masked)
         self._hits: list[int] = []  # recent candidate history
         self._cooldown_until = -1
         self.closures: list[tuple[int, int]] = []
@@ -81,17 +89,19 @@ class LoopCloser:
     # --- detection ----------------------------------------------------------
     def add_frame(self, state: SlamState, i: int) -> None:
         q = self._bow(state.desc_pm1[i], state.kp_valid[i])
-        self._db[i] = np.asarray(q)
+        self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
 
     def detect(self, i: int) -> Optional[int]:
         """Return a loop-candidate frame index for frame i, or None."""
         lc = self.lc
         if i < lc.min_gap or i < self._cooldown_until:
             return None
-        db = jnp.asarray(self._db[: max(i - lc.min_gap, 0)])
-        if db.shape[0] == 0:
+        n_valid = max(i - lc.min_gap, 0)
+        if n_valid == 0:
             return None
-        scores = np.asarray(self._score(jnp.asarray(self._db[i]), db))
+        scores = np.asarray(
+            self._score(self._db[i], self._db, jnp.asarray(n_valid, jnp.int32))
+        )[:n_valid]
         j = int(scores.argmax())
         # Similarity floor: median for a populated database, min for a tiny
         # one (a genuine revisit must pop out of whatever history exists).

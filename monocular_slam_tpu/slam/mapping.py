@@ -155,6 +155,42 @@ def covisibility(state: SlamState) -> jnp.ndarray:
     return jnp.matmul(inc, inc.T, preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
+def _incidence(state: SlamState) -> jnp.ndarray:
+    """(F, P) 0/1 frame-point observation incidence."""
+    F, N = state.feat_point.shape
+    P = state.points.shape[0]
+    fp = state.feat_point
+    valid = (fp >= 0) & state.kp_valid & state.point_valid[jnp.maximum(fp, 0)]
+    inc = jnp.zeros((F, P), jnp.float32)
+    return inc.at[
+        jnp.repeat(jnp.arange(F, dtype=jnp.int32), N),
+        jnp.maximum(fp.reshape(-1), 0),
+    ].max(valid.reshape(-1).astype(jnp.float32))
+
+
+def covisibility_row(state: SlamState, i) -> jnp.ndarray:
+    """(F,) shared-map-point counts between frame i and every frame: one row
+    of the covisibility graph as an incidence matvec (exact — 0/1 inputs with
+    f32 accumulation)."""
+    inc = _incidence(state)
+    return jnp.matmul(inc, inc[i], preferred_element_type=jnp.float32).astype(
+        jnp.int32
+    )
+
+
+def frame_overlap(state: SlamState, i, j) -> jnp.ndarray:
+    """Fraction of frame i's associated points also observed by frame j —
+    the keyframe-selection signal (scene change vs the last keyframe)."""
+    fp_i = state.feat_point[i]
+    ok_i = (fp_i >= 0) & state.kp_valid[i]
+    fp_j = state.feat_point[j]
+    ok_j = (fp_j >= 0) & state.kp_valid[j]
+    P = state.points.shape[0]
+    seen_j = jnp.zeros(P, bool).at[jnp.where(ok_j, fp_j, P)].set(True, mode="drop")
+    shared = jnp.sum((ok_i & seen_j[jnp.maximum(fp_i, 0)]).astype(jnp.int32))
+    return shared / jnp.maximum(jnp.sum(ok_i.astype(jnp.int32)), 1)
+
+
 def covisibility_window(state: SlamState, i, min_shared: int = 15) -> jnp.ndarray:
     """(F,) bool mask of frames covisible with frame i (>= min_shared points).
     The active-set selector for covisibility-windowed local BA (SURVEY.md 5.7)."""

@@ -19,7 +19,7 @@ import numpy as np
 
 from monocular_slam_tpu.ops import features as features_mod
 from monocular_slam_tpu.ops import orb
-from monocular_slam_tpu.slam import local_ba, state as state_mod, tracker
+from monocular_slam_tpu.slam import local_ba, mapping, state as state_mod, tracker
 from monocular_slam_tpu.slam.config import SlamConfig
 from monocular_slam_tpu.slam.state import SlamState
 
@@ -33,6 +33,9 @@ class FrameStats:
     chi2_before: float = float("nan")
     chi2_after: float = float("nan")
     loop_closed: bool = False
+    is_keyframe: bool = False
+    n_fused: int = 0
+    n_culled: int = 0
 
 
 class SlamSession:
@@ -73,6 +76,22 @@ class SlamSession:
         self._track = jax.jit(lambda st, i, key: tracker.track(st, i, key, cfg))
         self._local_ba = jax.jit(lambda st, i: local_ba.local_bundle_adjust(st, i, cfg))
         self._add_feats = jax.jit(state_mod.add_frame_features)
+
+        # local-mapping hygiene (the LocalMapper stage, `src/LocalMapper.h:30-42`)
+        m = cfg.mapping
+        self._fuse = jax.jit(
+            lambda st, i: mapping.fuse(
+                st, i, radius_px=m.fuse_radius_px,
+                max_hamming=m.fuse_max_hamming, image_wh=cfg.image_wh,
+            )
+        )
+        self._cull = jax.jit(
+            lambda st, i: mapping.cull_points(
+                st, i, min_obs=m.cull_min_obs, grace=m.cull_grace
+            )
+        )
+        self._overlap = jax.jit(mapping.frame_overlap)
+        self.keyframes: list[int] = []  # Mapper.insertKeyFrame analog
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -134,6 +153,28 @@ class SlamSession:
                 self.state = bares.state
                 st.chi2_before = float(bares.chi2_initial)
                 st.chi2_after = float(bares.chi2_final)
+        # --- local-mapping hygiene (LocalMapper's declared duties) ----------
+        m = self.cfg.mapping
+        if m.enabled and st.tracked and i >= 2:
+            if m.fuse_every and i % m.fuse_every == 0:
+                fres = self._fuse(self.state, i)
+                self.state = fres.state
+                st.n_fused = int(fres.n_associated)
+            if m.cull_every and i % m.cull_every == 0:
+                self.state, n_culled = self._cull(self.state, i)
+                st.n_culled = int(n_culled)
+        # --- keyframe flag (Mapper.insertKeyFrame rule) ----------------------
+        if st.tracked:
+            if not self.keyframes:
+                st.is_keyframe = True
+            else:
+                last = self.keyframes[-1]
+                ov = float(self._overlap(self.state, i, last))
+                st.is_keyframe = (
+                    ov < m.keyframe_overlap or (i - last) >= m.keyframe_max_gap
+                )
+            if st.is_keyframe:
+                self.keyframes.append(i)
         if self.loop_closer is not None and st.tracked and i >= 2:
             self.state, closed = self.loop_closer.run(self.state, i, self._split())
             st.loop_closed = closed

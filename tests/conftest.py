@@ -21,3 +21,7 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
+
+from monocular_slam_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
