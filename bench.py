@@ -1,8 +1,15 @@
-"""Benchmark: frames/sec of the full tracking + windowed-local-BA step on the
-current default JAX device (real TPU under the driver).
+"""Benchmark: the flagship metrics (BASELINE.json.metric) on the current
+default JAX device (real TPU under the driver).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+  1. frames/sec of the fused tracking + windowed-local-BA step (device-bound
+     kernel metric, 1000 features/frame).
+  2. frames/sec of the FULL image pipeline on a TUM-format dataset on disk:
+     PNG load -> ORB extraction -> PnP tracking -> local BA (the reference's
+     per-frame loop, `src/main.cpp:48-51`), plus its ATE.
+  3. BA iters/sec: LM iterations/sec of the windowed local BA solve (the
+     g2o `G2OBatchStatistics` analog).
+
+Prints ONE JSON line with `metric`/`value`/`vs_baseline` = metric 1.
 
 Baseline note: the C++ reference publishes no numbers (BASELINE.md) and its
 2013-era dependency stack (OpenCV 2.4 nonfree, PCL, boost) cannot be built in
@@ -15,6 +22,7 @@ SURVEY.md 5.7). vs_baseline = fps / 10.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,12 +36,98 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_fused_step(cfg, seq, warm_state):
+    """Steady-state fused (track + local BA) step, chained on device."""
+    from monocular_slam_tpu.slam import local_ba, tracker
+
+    @jax.jit
+    def frame_step(state, i, key):
+        tres = tracker.track(state, i, key, cfg)
+        bres = local_ba.local_bundle_adjust(tres.state, i, cfg)
+        return bres.state
+
+    key = jax.random.PRNGKey(7)
+    i = jnp.asarray(39, jnp.int32)
+    out = frame_step(warm_state, i, key)
+    jax.block_until_ready(out.poses)
+
+    n_rep = 30
+    t0 = time.perf_counter()
+    cur = warm_state
+    for r in range(n_rep):
+        cur = frame_step(cur, i, jax.random.fold_in(key, r))
+    jax.block_until_ready(cur.poses)
+    return (time.perf_counter() - t0) / n_rep
+
+
+def bench_ba_iters(cfg, warm_state):
+    """LM iterations/sec of the windowed local BA (BA iters/sec metric)."""
+    from monocular_slam_tpu.slam import local_ba
+
+    @jax.jit
+    def ba_only(state, i):
+        return local_ba.local_bundle_adjust(state, i, cfg).state
+
+    i = jnp.asarray(39, jnp.int32)
+    out = ba_only(warm_state, i)
+    jax.block_until_ready(out.poses)
+    n_rep = 30
+    t0 = time.perf_counter()
+    cur = warm_state
+    for _ in range(n_rep):
+        cur = ba_only(cur, i)
+    jax.block_until_ready(cur.poses)
+    dt = (time.perf_counter() - t0) / n_rep
+    return cfg.ba.local_iters / dt, dt
+
+
+def bench_image_pipeline(n_feat: int):
+    """Full disk->ORB->track->BA pipeline on a rendered TUM-format dataset.
+    Returns (fps, ate_m, tracked, n_frames, warmup_s)."""
+    from monocular_slam_tpu.datasets import render, tum
+    from monocular_slam_tpu.eval import ate as ate_mod
+    from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig
+    from monocular_slam_tpu.slam.session import SlamSession
+    import numpy as np
+
+    root = os.environ.get("MSLAM_BENCH_TUM", "/tmp/mslam_bench_tum")
+    if not os.path.exists(os.path.join(root, "rgb.txt")):
+        log("rendering TUM-format benchmark dataset ...")
+        render.export_tum(root, key=jax.random.PRNGKey(11), n_frames=60, wh=(640, 480))
+    seq = tum.load(root)
+    n = len(seq.frames)
+    cfg = SlamConfig(
+        max_frames=64,
+        max_points=20000,
+        image_wh=(640, 480),
+        frontend=FrontendConfig(n_features=n_feat),
+    )
+
+    # pass 1: warmup/compile
+    t0 = time.perf_counter()
+    sess = SlamSession(cfg, seed=1, run_ba=True)
+    for i in range(n):
+        sess.add_frame(seq.load_image(i), seq.k, seq.frames[i].timestamp)
+    warmup_s = time.perf_counter() - t0
+
+    # pass 2: steady state, fresh session, compiled programs
+    sess = SlamSession(cfg, seed=1, run_ba=True)
+    t0 = time.perf_counter()
+    for i in range(n):
+        sess.add_frame(seq.load_image(i), seq.k, seq.frames[i].timestamp)
+    wall = time.perf_counter() - t0
+
+    poses, valid, _ = sess.trajectory()
+    gt = np.stack([f.pose_gt for f in seq.frames])
+    r = ate_mod.ate(poses[valid], gt[: len(valid)][valid])
+    return n / wall, float(r.rmse), int(valid.sum()), n, warmup_s
+
+
 def main():
     from monocular_slam_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     from monocular_slam_tpu.datasets import synthetic
-    from monocular_slam_tpu.slam import local_ba, tracker
     from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig
     from monocular_slam_tpu.slam.session import SlamSession
 
@@ -55,46 +149,34 @@ def main():
         pix_noise=0.3,
         drop_prob=0.08,
     )
-    sess = SlamSession(cfg, seed=1, run_ba=True)
     t0 = time.perf_counter()
+    sess = SlamSession(cfg, seed=1, run_ba=True)
     tracked = 0
     for i, f in enumerate(seq.frames):
         st = sess.add_frame_features(f, seq.k, seq.timestamps[i])
         tracked += int(st.tracked)
-    log(f"warmup+compile: {time.perf_counter() - t0:.1f}s, tracked {tracked}/40")
+    warmup_feat = time.perf_counter() - t0
+    log(f"warmup+compile (feature path): {warmup_feat:.1f}s, tracked {tracked}/40")
 
-    # Steady-state: one fused frame step (track + local BA), timed over
-    # repeated calls with a single final block (avoids per-call host sync).
-    @jax.jit
-    def frame_step(state, i, key):
-        tres = tracker.track(state, i, key, cfg)
-        bres = local_ba.local_bundle_adjust(tres.state, i, cfg)
-        return bres.state
-
-    state = sess.state
-    key = jax.random.PRNGKey(7)
-    i = jnp.asarray(39, jnp.int32)
-    # compile
-    out = frame_step(state, i, key)
-    jax.block_until_ready(out.poses)
-
-    n_rep = 30
-    t0 = time.perf_counter()
-    cur = state
-    for r in range(n_rep):
-        cur = frame_step(cur, i, jax.random.fold_in(key, r))
-    jax.block_until_ready(cur.poses)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = bench_fused_step(cfg, seq, sess.state)
     fps = 1.0 / dt
 
-    # ATE sanity on the warmup run
+    ba_ips, ba_dt = bench_ba_iters(cfg, sess.state)
+    log(f"fused step {dt * 1e3:.1f} ms -> {fps:.1f} fps; local BA {ba_dt * 1e3:.1f} ms "
+        f"-> {ba_ips:.0f} LM iters/sec")
+
+    # ATE sanity on the warmup run (synthetic feature path)
     import numpy as np
 
     from monocular_slam_tpu.eval import ate
 
     poses, valid, _ = sess.trajectory()
     r = ate.ate(poses[valid], np.asarray(seq.poses_gt)[valid])
-    log(f"per-frame {dt * 1e3:.1f} ms -> {fps:.1f} fps; ATE {r.rmse * 1e3:.2f} mm")
+    log(f"feature-path ATE {r.rmse * 1e3:.2f} mm")
+
+    img_fps, img_ate, img_tracked, img_n, warmup_img = bench_image_pipeline(n_feat)
+    log(f"image pipeline {img_fps:.1f} fps, ATE {img_ate * 100:.2f} cm, "
+        f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s")
 
     print(
         json.dumps(
@@ -105,6 +187,12 @@ def main():
                 "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
                 "ate_mm": round(r.rmse * 1e3, 3),
                 "tracked": f"{int(valid.sum())}/{len(valid)}",
+                "ba_iters_per_sec": round(ba_ips, 1),
+                "image_pipeline_fps": round(img_fps, 2),
+                "image_pipeline_ate_cm": round(img_ate * 100, 3),
+                "image_pipeline_tracked": f"{img_tracked}/{img_n}",
+                "warmup_s": round(warmup_feat, 1),
+                "image_warmup_s": round(warmup_img, 1),
                 "device": str(dev),
             }
         )

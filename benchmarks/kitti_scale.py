@@ -1,0 +1,160 @@
+"""KITTI-scale benchmark: 10k-keyframe pose graph + (F=1k, P=100k) CG BA.
+
+Demonstrates the matrix-free paths at the scale they were written for
+(SURVEY.md §5.7, BASELINE.json configs[3]): a loop-closing Sim3 pose graph
+with 10,000 keyframes through `pose_graph.optimize_cg` (and the sharded
+variant when >1 device), and a 1,000-frame / 100,000-landmark / 1.5M-edge
+global BA through `cg_ba.bundle_adjust_cg`. Reports seconds per LM iteration,
+chi2 reduction, and device memory. Writes JSON to --out.
+
+    python benchmarks/kitti_scale.py --out benchmarks/kitti_scale_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def device_mem_mb():
+    import jax
+
+    try:
+        s = jax.local_devices()[0].memory_stats()
+        return round(s.get("bytes_in_use", 0) / 1e6, 1)
+    except Exception:
+        return None
+
+
+def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_slam_tpu.geometry import sim3
+    from monocular_slam_tpu.optim import pose_graph as pg
+
+    key = jax.random.PRNGKey(0)
+    # drifting circular trajectory with loop closures back to the start
+    ang = jnp.arange(n_kf) * (2 * jnp.pi / (n_kf / 4))
+    t = jnp.stack([jnp.sin(ang) * 50, jnp.zeros(n_kf), jnp.cos(ang) * 50], -1)
+    rot = jnp.stack([jnp.zeros(n_kf), ang, jnp.zeros(n_kf)], -1)
+    verts = sim3.from_rt_s(rot, t, jnp.ones(n_kf))
+    # drift: perturb all but frame 0
+    noise = 0.02 * jax.random.normal(key, (n_kf, 7))
+    verts_n = sim3.compose(sim3.exp(noise.at[0].set(0.0)), verts)
+
+    # loop edges: frame i ~ frame i - n_kf//4 (one revolution)
+    gap = n_kf // 4
+    li = jnp.arange(gap, n_kf, max(1, n_kf // max(n_loops, 1)), dtype=jnp.int32)
+    lj = li - gap
+    meas = sim3.compose(verts[li], sim3.inverse(verts[lj]))
+    g = pg.sequential_graph(verts_n, jnp.ones(n_kf, bool), li, lj, meas)
+
+    f = jax.jit(lambda g_: pg.optimize_cg(g_, n_iters=iters))
+    res = f(g)
+    jax.block_until_ready(res.vertices)
+    t0 = time.perf_counter()
+    res = f(g)
+    jax.block_until_ready(res.vertices)
+    dt = time.perf_counter() - t0
+    return {
+        "n_keyframes": n_kf,
+        "n_edges": int(g.i_idx.shape[0]),
+        "lm_iters": iters,
+        "sec_per_lm_iter": round(dt / iters, 4),
+        "iters_per_sec": round(iters / dt, 2),
+        "chi2_initial": float(res.chi2_initial),
+        "chi2_final": float(res.chi2_history[-1]),
+        "mem_mb": device_mem_mb(),
+    }
+
+
+def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_slam_tpu.geometry import camera, se3, so3
+    from monocular_slam_tpu.optim import ba, cg_ba
+
+    key = jax.random.PRNGKey(1)
+    kx, kn, kp, kt = jax.random.split(key, 4)
+    X = jax.random.uniform(kx, (P, 3), minval=-50, maxval=50) + jnp.array([0, 0, 80.0])
+    k = jnp.array([718.856, 718.856, 607.19, 185.22])  # KITTI cam0
+    ang = jnp.arange(F) * 0.002
+    poses = jax.vmap(
+        lambda a, i: se3.from_Rt(so3.exp(jnp.array([0.0, 1.0, 0.0]) * a),
+                                 jnp.array([1.0, 0.0, 0.1]) * i * 0.5)
+    )(ang, jnp.arange(F, dtype=jnp.float32))
+    E = F * obs_per_frame
+    cam_idx = jnp.repeat(jnp.arange(F, dtype=jnp.int32), obs_per_frame)
+    pt_idx = jax.random.randint(kp, (E,), 0, P, dtype=jnp.int32)
+    uv = camera.project(k, se3.apply(poses[cam_idx], X[pt_idx]))
+    uv = uv + 0.5 * jax.random.normal(kn, uv.shape)
+    prob = ba.BAProblem(
+        poses=se3.compose(se3.exp(0.005 * jax.random.normal(kt, (F, 6))), poses),
+        points=X + 0.1 * jax.random.normal(kx, X.shape),
+        k=jnp.broadcast_to(k, (F, 4)),
+        cam_idx=cam_idx,
+        pt_idx=pt_idx,
+        uv=uv,
+        info=jnp.ones(E),
+        valid=jnp.ones(E, bool),
+        fixed=jnp.zeros(F, bool).at[0].set(True),
+    )
+    f = jax.jit(lambda p: cg_ba.bundle_adjust_cg(p, n_iters=iters, max_cg_iters=50))
+    res = f(prob)
+    jax.block_until_ready(res.poses)
+    t0 = time.perf_counter()
+    res = f(prob)
+    jax.block_until_ready(res.poses)
+    dt = time.perf_counter() - t0
+    return {
+        "n_frames": F,
+        "n_points": P,
+        "n_edges": E,
+        "lm_iters": iters,
+        "sec_per_lm_iter": round(dt / iters, 4),
+        "iters_per_sec": round(iters / dt, 2),
+        "chi2_initial": float(res.chi2_initial),
+        "chi2_final": float(res.chi2_history[-1]),
+        "mem_mb": device_mem_mb(),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--keyframes", type=int, default=10000)
+    p.add_argument("--loops", type=int, default=100)
+    p.add_argument("--ba-frames", type=int, default=1000)
+    p.add_argument("--ba-points", type=int, default=100000)
+    p.add_argument("--obs-per-frame", type=int, default=1500)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+
+    out = {"device": str(jax.devices()[0])}
+    print("[kitti_scale] pose graph ...", file=sys.stderr, flush=True)
+    out["pose_graph_cg_10k"] = bench_pose_graph(args.keyframes, args.loops, args.iters)
+    print(json.dumps(out["pose_graph_cg_10k"]), file=sys.stderr, flush=True)
+    print("[kitti_scale] CG BA ...", file=sys.stderr, flush=True)
+    out["global_ba_cg"] = bench_cg_ba(
+        args.ba_frames, args.ba_points, args.obs_per_frame, args.iters
+    )
+    print(json.dumps(out["global_ba_cg"]), file=sys.stderr, flush=True)
+    s = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(s + "\n")
+    print(s)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,20 @@ INTRINSICS = {
         dist=np.zeros(5),
         wh=(1241, 376),
     ),
+    # rendered synthetic sequences (`datasets/render.py`): fr1-like pinhole,
+    # zero distortion (the renderer has no lens)
+    "synth": dict(
+        k=np.array([517.3, 516.5, 318.6, 255.3]),
+        dist=np.zeros(5),
+        wh=(640, 480),
+    ),
+    # CMU Minitaur hopping-robot video
+    # (`loadCameraIntrinsics_Minitaur`, FrameLoader.cpp:193-214)
+    "minitaur": dict(
+        k=np.array([712.9293, 683.2151, 913.5476, 550.1913]),
+        dist=np.zeros(5),
+        wh=(1920, 1080),
+    ),
 }
 
 
@@ -50,6 +64,8 @@ def lookup(name_or_path: str):
     """Dataset sniffing by substring — same mechanism as the reference's
     loader dispatch (`FrameLoader.cpp:282-301`)."""
     s = name_or_path.lower()
+    if "synth" in s:  # rendered TUM-format sequences (datasets/render.py)
+        return INTRINSICS["synth"]
     if "freiburg1" in s or "fr1" in s:
         return INTRINSICS["tum_fr1"]
     if "freiburg2" in s or "fr2" in s:
@@ -60,4 +76,6 @@ def lookup(name_or_path: str):
         return INTRINSICS["kitti_00"]
     if "desk2" in s or "kinect" in s:
         return INTRINSICS["kinect"]
+    if "minitaur" in s:  # MinitaurHoppingVideo (`FrameLoader.cpp:297-300`)
+        return INTRINSICS["minitaur"]
     raise KeyError(f"unknown dataset: {name_or_path}")

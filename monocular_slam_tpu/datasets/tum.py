@@ -106,8 +106,19 @@ def load(
     step: int = 1,
 ) -> TumSequence:
     """Load a TUM sequence directory (must contain rgb.txt; depth.txt and
-    groundtruth.txt optional)."""
-    cal = intr.lookup(root)
+    groundtruth.txt optional). Intrinsics come from a `calib.txt`
+    (fx fy cx cy [W H]) if present, else dataset-name sniffing — the
+    reference only has the latter (`FrameLoader.cpp:282-301`)."""
+    calib_file = os.path.join(root, "calib.txt")
+    if os.path.exists(calib_file):
+        vals = np.loadtxt(calib_file).reshape(-1)
+        cal = dict(
+            k=vals[:4],
+            dist=np.zeros(5),
+            wh=(int(vals[4]), int(vals[5])) if len(vals) >= 6 else (640, 480),
+        )
+    else:
+        cal = intr.lookup(root)
     rgb = _read_list_file(os.path.join(root, "rgb.txt"))
     if end is None:
         end = len(rgb)

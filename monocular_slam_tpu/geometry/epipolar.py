@@ -15,7 +15,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+from monocular_slam_tpu.utils.precision import (
+    einsum_hp as _einsum,
+    matmul_hp as _mm,
+    small_gram,
+    small_mm,
+    small_mv,
+)
 
 from monocular_slam_tpu.geometry import camera as cam
 from monocular_slam_tpu.geometry import se3, triangulate
@@ -80,7 +86,9 @@ def eight_point(
     uv1n, T1 = hartley_normalize(uv1, mask)
     uv2n, T2 = hartley_normalize(uv2, mask)
     A = _constraint_rows(uv1n, uv2n) * weights[..., None]
-    AtA = _mm(jnp.swapaxes(A, -1, -2), A)  # (..., 9, 9)
+    # r=N-row Gram expanded: per-hypothesis K=N dots pad MXU tiles (see
+    # utils.precision.small_mv)
+    AtA = small_gram(A)  # (..., 9, 9)
     from monocular_slam_tpu.utils.linalg import nullspace_vector
 
     f = nullspace_vector(AtA, method=solver)
@@ -89,9 +97,9 @@ def eight_point(
     # step at `src/CameraPoseEstimator.cpp:700-708`.
     U, S, Vt = jnp.linalg.svd(F)
     S = S.at[..., 2].set(0.0)
-    F = _mm(U * S[..., None, :], Vt)
+    F = small_mm(U * S[..., None, :], Vt)
     # Denormalize: F = T2^T Fn T1
-    F = _mm(_mm(jnp.swapaxes(T2, -1, -2), F), T1)
+    F = small_mm(small_mm(jnp.swapaxes(T2, -1, -2), F), T1)
     return F / jnp.maximum(jnp.linalg.norm(F, axis=(-2, -1), keepdims=True), _EPS)
 
 
@@ -102,8 +110,8 @@ def sampson_distance(F: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray) -> jnp.
     ones = jnp.ones(uv1.shape[:-1] + (1,), dtype=uv1.dtype)
     x1 = jnp.concatenate([uv1, ones], axis=-1)
     x2 = jnp.concatenate([uv2, ones], axis=-1)
-    Fx1 = _einsum("...ij,...nj->...ni", F, x1)
-    Ftx2 = _einsum("...ji,...nj->...ni", F, x2)
+    Fx1 = small_mv(F[..., None, :, :], x1)  # (..., N, 3), j=3 expanded
+    Ftx2 = small_mv(jnp.swapaxes(F, -1, -2)[..., None, :, :], x2)
     num = jnp.square(jnp.sum(x2 * Fx1, axis=-1))
     den = (
         jnp.square(Fx1[..., 0])
@@ -119,7 +127,7 @@ def epipolar_line(F: jnp.ndarray, uv1: jnp.ndarray) -> jnp.ndarray:
     reference's debug tool draws (`src/SFMDebugging.cpp:21-40`)."""
     ones = jnp.ones(uv1.shape[:-1] + (1,), dtype=uv1.dtype)
     x1 = jnp.concatenate([uv1, ones], axis=-1)
-    return _einsum("...ij,...nj->...ni", F, x1)
+    return small_mv(F[..., None, :, :], x1)
 
 
 class RansacResult(NamedTuple):

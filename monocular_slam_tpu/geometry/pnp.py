@@ -20,7 +20,12 @@ from monocular_slam_tpu.geometry import camera as cam
 from monocular_slam_tpu.geometry import se3, so3
 from monocular_slam_tpu.geometry.epipolar import _sample_indices
 from monocular_slam_tpu.optim import pose_ba
-from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+from monocular_slam_tpu.utils.precision import (
+    einsum_hp as _einsum,
+    matmul_hp as _mm,
+    small_gram,
+    small_mv,
+)
 
 _EPS = 1e-12
 MIN_SAMPLE = 6
@@ -45,13 +50,13 @@ def pnp_dlt(
     rows1 = jnp.concatenate([Xh, zeros, -x * Xh], axis=-1)  # (..., n, 12)
     rows2 = jnp.concatenate([zeros, Xh, -y * Xh], axis=-1)
     A = jnp.concatenate([rows1 * w[..., None], rows2 * w[..., None]], axis=-2)  # (..., 2n, 12)
-    AtA = _mm(jnp.swapaxes(A, -1, -2), A)
+    AtA = small_gram(A)  # 2n rows expanded (MXU-padding, utils.precision)
     from monocular_slam_tpu.utils.linalg import nullspace_vector
 
     p = nullspace_vector(AtA, method=solver)
     P = p.reshape(p.shape[:-1] + (3, 4))
     # Fix sign: points must have positive depth on average.
-    depth = _einsum("...ij,...nj->...ni", P, Xh)[..., 2]
+    depth = small_mv(P[..., None, :, :], Xh)[..., 2]
     sgn = jnp.where(jnp.sum(jnp.sign(depth) * w, axis=-1) < 0, -1.0, 1.0)
     P = P * sgn[..., None, None]
     M = P[..., :3, :3]

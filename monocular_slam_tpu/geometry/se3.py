@@ -62,8 +62,12 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply(T: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
-    """Transform points: (..., 3, 4) x (..., 3) -> (..., 3)."""
-    return _einsum("...ij,...j->...i", rotation(T), X) + translation(T)
+    """Transform points: (..., 3, 4) x (..., 3) -> (..., 3). Expanded
+    multiply+sum (`small_mv`): exact f32, stays on the VPU — this is the
+    hottest op in BA linearization (one call per edge per LM iteration)."""
+    from monocular_slam_tpu.utils.precision import small_mv
+
+    return small_mv(rotation(T), X) + translation(T)
 
 
 def camera_center(T_wc: jnp.ndarray) -> jnp.ndarray:

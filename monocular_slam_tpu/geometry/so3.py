@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm, small_mm
 
 _EPS = 1e-8  # floor for safe divisions
 
@@ -60,7 +60,7 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return eye + a[..., None, None] * W + b[..., None, None] * _mm(W, W)
+    return eye + a[..., None, None] * W + b[..., None, None] * small_mm(W, W)
 
 
 def log(R: jnp.ndarray) -> jnp.ndarray:

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from monocular_slam_tpu.utils.precision import einsum_hp as _einsum, matmul_hp as _mm
+from monocular_slam_tpu.utils.precision import (
+    einsum_hp as _einsum,
+    matmul_hp as _mm,
+    small_gram,
+)
 
 from monocular_slam_tpu.geometry import camera as cam
 
@@ -50,7 +54,7 @@ def triangulate_dlt(
 
     # Row-normalize for conditioning, then smallest eigenvector of A^T A.
     A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), _EPS)
-    AtA = _mm(jnp.swapaxes(A, -1, -2), A)
+    AtA = small_gram(A)  # r=4 rows expanded (MXU-padding, utils.precision)
     _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
     Xh = V[..., :, 0]
     w = Xh[..., 3]
@@ -73,7 +77,7 @@ def triangulate_two_view(
 def depths(T: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     """z-coordinates of world points in the camera frame of pose T (...,3,4)."""
     R, t = T[..., :3, :3], T[..., :3, 3]
-    return _einsum("...j,...nj->...n", R[..., 2, :], X) + t[..., 2:3]
+    return jnp.sum(R[..., None, 2, :] * X, axis=-1) + t[..., 2:3]
 
 
 def reprojection_error(

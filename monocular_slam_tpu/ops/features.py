@@ -34,14 +34,19 @@ def extract(
     n_features: int = 1000,
     n_levels: int = pyramid.N_LEVELS,
     fast_threshold: float = 20.0,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
 ) -> orb.Features:
     """Extract ORB features from a grayscale (H, W) float image in [0, 255].
 
     Returns a fixed-capacity `Features` with exactly n_features slots (invalid
     slots masked). use_pallas routes corner detection through the fused
     Pallas score+NMS kernel (`ops/pallas/fast_score.py`) — bit-identical,
-    1.5x (TUM) to 3.7x (KITTI) faster on TPU v5e."""
+    1.5x (TUM) to 3.7x (KITTI) faster on TPU v5e. Default (None): Pallas on
+    TPU, pure-XLA on CPU."""
+    if use_pallas is None:
+        from monocular_slam_tpu.ops.backend import is_tpu
+
+        use_pallas = is_tpu()
     detect_fn = fast.detect
     if use_pallas:
         from monocular_slam_tpu.ops.pallas import fast_score

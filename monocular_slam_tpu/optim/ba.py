@@ -86,12 +86,19 @@ def _linearize_graph(prob: BAProblem, poses, points, delta: float):
     r, Jp, Jl = residuals.linearize(Tc, Xp, ke, prob.uv)
     w, chi2 = _edge_weights(prob, r, delta)
 
-    # Weighted block products per edge
-    Hpp_e = _einsum("eai,eaj,e->eij", Jp, Jp, w)  # (E, 6, 6)
-    Hll_e = _einsum("eai,eaj,e->eij", Jl, Jl, w)  # (E, 3, 3)
-    W_e = _einsum("eai,eaj,e->eij", Jp, Jl, w)  # (E, 6, 3)  pose-landmark
-    bp_e = -_einsum("eai,ea,e->ei", Jp, r, w)  # (E, 6)
-    bl_e = -_einsum("eai,ea,e->ei", Jl, r, w)  # (E, 3)
+    # Weighted block products per edge. The a=2 contraction is expanded to
+    # broadcast-multiply-sum: a HIGHEST-precision dot at (E, 2, k) shapes
+    # pads each edge onto MXU tiles (~60x slower on TPU — see
+    # utils.precision.small_mm).
+    def outer2(A, B):  # (E, 2, m), (E, 2, n) -> (E, m, n) weighted by w
+        Aw = A * w[:, None, None]
+        return jnp.sum(Aw[..., :, None] * B[..., None, :], axis=-3)
+
+    Hpp_e = outer2(Jp, Jp)  # (E, 6, 6)
+    Hll_e = outer2(Jl, Jl)  # (E, 3, 3)
+    W_e = outer2(Jp, Jl)  # (E, 6, 3)  pose-landmark
+    bp_e = -jnp.sum(Jp * (r * w[:, None])[..., None], axis=-2)  # (E, 6)
+    bl_e = -jnp.sum(Jl * (r * w[:, None])[..., None], axis=-2)  # (E, 3)
 
     seg_f = lambda x: jax.ops.segment_sum(x, prob.cam_idx, num_segments=F)
     seg_p = lambda x: jax.ops.segment_sum(x, prob.pt_idx, num_segments=P)
@@ -128,8 +135,10 @@ def _schur_solve(prob: BAProblem, lin, lam):
     Hll_inv = inv3x3(Hll_d)  # batched closed-form (TPU: 80x faster than LU)
 
     # Y_e = W_e Hll^{-1}[pt(e)] — g2o's per-landmark elimination
-    # (`block_solver.hpp:381-432`) becomes a batched 6x3 @ 3x3.
-    Y_e = _mm(lin["W_e"], Hll_inv[prob.pt_idx])  # (E, 6, 3)
+    # (`block_solver.hpp:381-432`) becomes a batched 6x3 @ 3x3 (expanded).
+    from monocular_slam_tpu.utils.precision import small_mm, small_mv
+
+    Y_e = small_mm(lin["W_e"], Hll_inv[prob.pt_idx])  # (E, 6, 3)
 
     def scatter_fp(blocks):  # (E, 6, 3) -> (F, 6, P, 3)
         out = jnp.zeros((F, 6, P, 3), dtype=dtype)
@@ -138,7 +147,7 @@ def _schur_solve(prob: BAProblem, lin, lam):
     U = scatter_fp(lin["W_e"]).reshape(F * 6, P * 3)
     Y = scatter_fp(Y_e).reshape(F * 6, P * 3)
     # b_red = bp - sum_l Y_il bl_l (edge-wise segment sum)
-    yb_e = _einsum("eij,ej->ei", Y_e, lin["bl"][prob.pt_idx])  # (E, 6)
+    yb_e = small_mv(Y_e, lin["bl"][prob.pt_idx])  # (E, 6)
     b_red = lin["bp"] - jax.ops.segment_sum(yb_e, prob.cam_idx, num_segments=F)
 
     # ONE matmul for the Schur cross terms: S -= Y U^T rides the MXU.
@@ -160,9 +169,9 @@ def _schur_solve(prob: BAProblem, lin, lam):
     ).reshape(F, 6)
 
     # Back-substitution: dxl = Hll^{-1} (bl - W^T dxp) (`block_solver.hpp:459-479`)
-    wt_dxp_e = _einsum("eij,ei->ej", lin["W_e"], dxp[prob.cam_idx])  # (E, 3)
+    wt_dxp_e = jnp.sum(lin["W_e"] * dxp[prob.cam_idx][..., None], axis=-2)  # (E, 3)
     rhs_l = lin["bl"] - jax.ops.segment_sum(wt_dxp_e, prob.pt_idx, num_segments=P)
-    dxl = _einsum("pij,pj->pi", Hll_inv, rhs_l)
+    dxl = small_mv(Hll_inv, rhs_l)
     return dxp, dxl, b_red.reshape(F, 6)
 
 
@@ -173,7 +182,6 @@ def bundle_adjust(
     tau: float = 1e-5,
     solve_fn=None,
     linearize_fn=None,
-    chi2_fn=None,
 ) -> BAResult:
     """Run damped LM bundle adjustment. Fully jittable; fixed trip count with
     early-stall freeze (g2o terminates when chi2 improves < 1e-3 relative for
@@ -182,16 +190,21 @@ def bundle_adjust(
     solve_fn(prob, lin, lam) -> (dxp, dxl, b_red) computes the damped Schur
     step; defaults to the dense-S Cholesky (`_schur_solve`). The matrix-free
     PCG solver in `optim/cg_ba.py` plugs in here for large graphs; the
-    scatter-free window layout in `optim/window_ba.py` plugs in its own
-    linearize/chi2/solve trio (same `lin` dict contract: chi2, Hpp, Hll,
-    bp, bl, W_e)."""
+    scatter-free observation-grid layout in `optim/window_ba.py` plugs in its
+    own linearize/solve pair (same `lin` dict contract: chi2, Hpp, Hll,
+    bp, bl, W_e).
+
+    The loop carries the current linearization: each iteration solves from
+    the carried `lin`, linearizes at the CANDIDATE state (whose chi2 is a
+    byproduct), and keeps the candidate linearization iff the step is
+    accepted. One linearize per iteration, no separate chi2 pass — vs g2o's
+    computeActiveErrors + buildSystem per trial
+    (`sparse_optimizer.cpp:354-419`)."""
     dtype = prob.poses.dtype
     if solve_fn is None:
         solve_fn = _schur_solve
     if linearize_fn is None:
         linearize_fn = _linearize_graph
-    if chi2_fn is None:
-        chi2_fn = _chi2_graph
 
     lin0 = linearize_fn(prob, prob.poses, prob.points, delta)
     diag0 = jnp.concatenate(
@@ -203,15 +216,15 @@ def bundle_adjust(
     lam0 = lm.init_lambda(diag0, tau)
 
     def body(carry, _):
-        poses, points, st = carry
+        poses, points, lin, st = carry
 
         def step(operand):
-            poses, points, st = operand
-            lin = linearize_fn(prob, poses, points, delta)
+            poses, points, lin, st = operand
             dxp, dxl, _ = solve_fn(prob, lin, st.lam)
             poses_new = se3.compose(se3.exp(dxp), poses)
             points_new = points + dxl
-            chi2_new = chi2_fn(prob, poses_new, points_new, delta)
+            lin_new = linearize_fn(prob, poses_new, points_new, delta)
+            chi2_new = lin_new["chi2"]
             dx_all = jnp.concatenate([dxp.reshape(-1), dxl.reshape(-1)])
             b_all = jnp.concatenate([lin["bp"].reshape(-1), lin["bl"].reshape(-1)])
             rho = lm.gain_ratio(lin["chi2"], chi2_new, dx_all, b_all, st.lam)
@@ -219,25 +232,28 @@ def bundle_adjust(
             lam_new, nu_new = lm.lm_step_accept(st.lam, st.nu, rho, accept)
             poses_out = jnp.where(accept, poses_new, poses)
             points_out = jnp.where(accept, points_new, points)
+            lin_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), lin_new, lin
+            )
             chi2_out = jnp.where(accept, chi2_new, lin["chi2"])
             stall = accept & (lin["chi2"] - chi2_new < 1e-6 * lin["chi2"])
             st_new = lm.LMState(lam_new, nu_new, chi2_out, st.it + 1, st.done | stall)
-            return (poses_out, points_out, st_new), accept
+            return (poses_out, points_out, lin_out, st_new), accept
 
         def frozen(operand):
-            poses, points, st = operand
-            return (poses, points, st._replace(it=st.it + 1)), jnp.asarray(False)
+            poses, points, lin, st = operand
+            return (poses, points, lin, st._replace(it=st.it + 1)), jnp.asarray(False)
 
-        (poses, points, st), accept = jax.lax.cond(
-            st.done, frozen, step, (poses, points, st)
+        (poses, points, lin, st), accept = jax.lax.cond(
+            st.done, frozen, step, (poses, points, lin, st)
         )
-        return (poses, points, st), (st.chi2, st.lam, accept)
+        return (poses, points, lin, st), (st.chi2, st.lam, accept)
 
     st0 = lm.LMState(
         lam0, jnp.asarray(2.0, dtype), lin0["chi2"], jnp.asarray(0, jnp.int32), jnp.asarray(False)
     )
-    (poses, points, st), (chi2_h, lam_h, acc_h) = jax.lax.scan(
-        body, (prob.poses, prob.points, st0), None, length=n_iters
+    (poses, points, _, st), (chi2_h, lam_h, acc_h) = jax.lax.scan(
+        body, (prob.poses, prob.points, lin0, st0), None, length=n_iters
     )
     return BAResult(poses, points, lin0["chi2"], chi2_h, lam_h, acc_h, st.it)
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from monocular_slam_tpu.geometry import se3
 from monocular_slam_tpu.geometry.so3 import hat
-from monocular_slam_tpu.utils.precision import einsum_hp as _einsum
+from monocular_slam_tpu.utils.precision import small_mm
 
 _EPS = 1e-8
 
@@ -75,8 +75,11 @@ def linearize(T: jnp.ndarray, X: jnp.ndarray, k: jnp.ndarray, uv: jnp.ndarray):
         [-hat(Xc), jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape + (3,))],
         axis=-1,
     )  # (..., 3, 6)
-    Jp = _einsum("...ij,...jk->...ik", A, dXc_dxi)  # (..., 2, 6)
-    Jl = _einsum("...ij,...jk->...ik", A, se3.rotation(T))  # (..., 2, 3)
+    # expanded tiny matmuls (see utils.precision.small_mm): exact f32 VPU
+    # math; HIGHEST-precision dots at these shapes pad onto MXU tiles and
+    # dominate the whole linearization (~60x slower at 65k-edge batches)
+    Jp = small_mm(A, dXc_dxi)  # (..., 2, 6)
+    Jl = small_mm(A, se3.rotation(T))  # (..., 2, 3)
     return r, Jp, Jl
 
 

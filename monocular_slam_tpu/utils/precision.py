@@ -25,3 +25,25 @@ def einsum_hp(subscripts: str, *operands):
 def matmul_hp(a, b):
     """jnp.matmul pinned to highest precision."""
     return jnp.matmul(a, b, precision=HIGHEST)
+
+
+def small_mv(A, x):
+    """Batched tiny matrix-vector product (..., m, k) @ (..., k) -> (..., m)
+    expanded as broadcast multiply + sum: exact f32 on the VPU. For
+    contraction lengths of 3-4, a HIGHEST-precision dot lowers each batch
+    element onto padded MXU tiles — measured ~60x slower at (65536, 2, 3)
+    batches on TPU v5e than this elementwise form."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def small_mm(A, B):
+    """Batched tiny matmul (..., m, k) @ (..., k, n) -> (..., m, n) as
+    broadcast multiply + sum over k (see `small_mv`). The (..., m, k, n)
+    intermediate stays fused inside XLA."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def small_gram(A):
+    """Batched tiny Gram matrix A^T A for (..., r, m) with small r: expanded
+    outer-product sum over the r rows (see `small_mv` for why)."""
+    return jnp.sum(A[..., :, :, None] * A[..., :, None, :], axis=-3)
