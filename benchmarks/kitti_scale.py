@@ -35,7 +35,7 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     import jax
     import jax.numpy as jnp
 
-    from monocular_slam_tpu.geometry import sim3
+    from monocular_slam_tpu.geometry import sim3, so3
     from monocular_slam_tpu.optim import pose_graph as pg
 
     key = jax.random.PRNGKey(0)
@@ -43,10 +43,12 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     ang = jnp.arange(n_kf) * (2 * jnp.pi / (n_kf / 4))
     t = jnp.stack([jnp.sin(ang) * 50, jnp.zeros(n_kf), jnp.cos(ang) * 50], -1)
     rot = jnp.stack([jnp.zeros(n_kf), ang, jnp.zeros(n_kf)], -1)
-    verts = sim3.from_rt_s(rot, t, jnp.ones(n_kf))
-    # drift: perturb all but frame 0
-    noise = 0.02 * jax.random.normal(key, (n_kf, 7))
-    verts_n = sim3.compose(sim3.exp(noise.at[0].set(0.0)), verts)
+    verts = sim3.pack(jax.vmap(so3.exp)(rot), t, jnp.ones(n_kf))
+    # drift: accumulating odometry error (the regime a loop closure corrects),
+    # not i.i.d. jitter — gives the optimizer real work at 10k keyframes
+    step_noise = 0.004 * jax.random.normal(key, (n_kf, 7))
+    noise = jnp.cumsum(step_noise.at[0].set(0.0), axis=0)
+    verts_n = sim3.compose(sim3.exp(noise), verts)
 
     # loop edges: frame i ~ frame i - n_kf//4 (one revolution)
     gap = n_kf // 4
@@ -58,15 +60,17 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     f = jax.jit(lambda g_: pg.optimize_cg(g_, n_iters=iters))
     res = f(g)
     jax.block_until_ready(res.vertices)
+    n_rep = 3
     t0 = time.perf_counter()
-    res = f(g)
-    jax.block_until_ready(res.vertices)
-    dt = time.perf_counter() - t0
+    for _ in range(n_rep):
+        res = f(g)
+        jax.block_until_ready(res.vertices)
+    dt = (time.perf_counter() - t0) / n_rep
     return {
         "n_keyframes": n_kf,
         "n_edges": int(g.i_idx.shape[0]),
         "lm_iters": iters,
-        "sec_per_lm_iter": round(dt / iters, 4),
+        "sec_per_lm_iter": round(dt / iters, 6),
         "iters_per_sec": round(iters / dt, 2),
         "chi2_initial": float(res.chi2_initial),
         "chi2_final": float(res.chi2_history[-1]),
@@ -83,13 +87,26 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
 
     key = jax.random.PRNGKey(1)
     kx, kn, kp, kt = jax.random.split(key, 4)
-    X = jax.random.uniform(kx, (P, 3), minval=-50, maxval=50) + jnp.array([0, 0, 80.0])
+    # cameras orbit a point cloud at the origin, always looking inward: every
+    # landmark sits comfortably in front of every camera (depths ~50-110),
+    # so the synthetic graph is well-conditioned like a real survey rig —
+    # a random box of points around the trajectory leaves most observations
+    # behind the camera and every LM step gets rejected.
+    X = 30.0 * jax.random.ball(kx, 3, shape=(P,))
     k = jnp.array([718.856, 718.856, 607.19, 185.22])  # KITTI cam0
-    ang = jnp.arange(F) * 0.002
-    poses = jax.vmap(
-        lambda a, i: se3.from_Rt(so3.exp(jnp.array([0.0, 1.0, 0.0]) * a),
-                                 jnp.array([1.0, 0.0, 0.1]) * i * 0.5)
-    )(ang, jnp.arange(F, dtype=jnp.float32))
+    radius = 80.0
+    ang = jnp.arange(F) * (2 * jnp.pi / F)
+
+    def cam_pose(a):
+        c = jnp.array([radius * jnp.sin(a), 0.0, -radius * jnp.cos(a)])
+        z = -c / jnp.linalg.norm(c)
+        x = jnp.cross(jnp.array([0.0, 1.0, 0.0]), z)
+        x = x / jnp.linalg.norm(x)
+        y = jnp.cross(z, x)
+        R = jnp.stack([x, y, z])
+        return se3.from_Rt(R, -R @ c)
+
+    poses = jax.vmap(cam_pose)(ang)
     E = F * obs_per_frame
     cam_idx = jnp.repeat(jnp.arange(F, dtype=jnp.int32), obs_per_frame)
     pt_idx = jax.random.randint(kp, (E,), 0, P, dtype=jnp.int32)
@@ -118,7 +135,7 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
         "n_points": P,
         "n_edges": E,
         "lm_iters": iters,
-        "sec_per_lm_iter": round(dt / iters, 4),
+        "sec_per_lm_iter": round(dt / iters, 6),
         "iters_per_sec": round(iters / dt, 2),
         "chi2_initial": float(res.chi2_initial),
         "chi2_final": float(res.chi2_history[-1]),

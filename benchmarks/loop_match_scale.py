@@ -1,0 +1,110 @@
+"""Loop-closure verification matching at map scale — the DBoW2 direct-index
+justification, measured.
+
+DBoW2's FeatureVector ("direct index", `ThirdParty/DBoW2/DBoW2/FeatureVector.h`)
+exists to make loop *verification* cheap on a CPU: instead of brute-force
+matching the query frame's descriptors against every candidate descriptor, it
+buckets features by vocabulary node so only same-bucket pairs are compared.
+On a TPU the brute-force table IS the cheap path — one int8 (N, 256) x
+(256, M) MXU matmul (`ops/matching.py:hamming_matrix`) — so this framework
+skips the direct index. This benchmark backs that claim with numbers at the
+scales the index was built for:
+
+  1. retrieval:     BoW-score one query against a 10,000-frame database
+                    (`retrieval/vocabulary.score_against_database`).
+  2. verification:  full ratio-test matching between two 2,000-feature frames
+                    (`ops/matching.match`, the `compute_sim3` path of
+                    `slam/loop_closer.py`).
+  3. map-scale:     one query frame (2,000 descriptors) against 20,000+ map
+                    point descriptors in a single Hamming matmul — strictly
+                    MORE work than any direct-index guided match would do.
+
+Writes JSON to --out. Run on the real TPU for headline numbers; runs anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(f, *a, n=20):
+    import jax
+
+    out = f(*a)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*a)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--db-frames", type=int, default=10000)
+    p.add_argument("--n-feat", type=int, default=2000)
+    p.add_argument("--map-points", type=int, default=20000)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_slam_tpu.ops import matching
+    from monocular_slam_tpu.retrieval import vocabulary as vocab
+
+    key = jax.random.PRNGKey(0)
+    out = {"device": str(jax.devices()[0])}
+
+    # --- 1. retrieval: query BoW vs 10k-frame database ----------------------
+    voc = vocab.load_default()
+    V = voc.n_words
+    kd, kq = jax.random.split(key)
+    db = jax.random.dirichlet(kd, jnp.ones(V), (args.db_frames,)).astype(jnp.float32)
+    q = jax.random.dirichlet(kq, jnp.ones(V)).astype(jnp.float32)
+    f_score = jax.jit(lambda q_, db_: vocab.score_against_database(q_, db_, "l1"))
+    dt = _timeit(f_score, q, db)
+    out["retrieval_10k_frames"] = {
+        "db_frames": args.db_frames,
+        "n_words": int(V),
+        "ms": round(dt * 1e3, 3),
+    }
+
+    # --- 2. verification: frame-vs-frame ratio-test match -------------------
+    ka, kb = jax.random.split(key, 2)
+    da = jnp.sign(jax.random.normal(ka, (args.n_feat, 256))).astype(jnp.int8)
+    db2 = jnp.sign(jax.random.normal(kb, (args.n_feat, 256))).astype(jnp.int8)
+    ok = jnp.ones(args.n_feat, bool)
+    f_match = jax.jit(
+        lambda a, b: matching.match(a, b, ok, ok, ratio=0.9, max_dist=80)
+    )
+    dt = _timeit(f_match, da, db2)
+    out["verification_frame_pair"] = {"n_feat": args.n_feat, "ms": round(dt * 1e3, 3)}
+
+    # --- 3. map-scale: query frame vs ALL map point descriptors -------------
+    km = jax.random.split(key, 3)[2]
+    dmap = jnp.sign(jax.random.normal(km, (args.map_points, 256))).astype(jnp.int8)
+    f_big = jax.jit(lambda a, b: matching.hamming_matrix(a, b).min(axis=1))
+    dt = _timeit(f_big, da, dmap)
+    out["map_scale_match"] = {
+        "n_query": args.n_feat,
+        "n_map_points": args.map_points,
+        "ms": round(dt * 1e3, 3),
+    }
+
+    s = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(s + "\n")
+    print(s)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

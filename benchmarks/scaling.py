@@ -29,13 +29,24 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--shards", type=int, nargs="*", default=None)
     p.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
+    p.add_argument("--out", default=None, help="write JSON artifact here")
+    p.add_argument(
+        "--one-thread-per-device",
+        action="store_true",
+        help="pin XLA-CPU intra-op parallelism to 1 thread so each virtual "
+        "device ~ one core: without this, the 1-shard run already uses every "
+        "core and strong-scaling efficiency is meaningless on a shared host",
+    )
     args = p.parse_args(argv)
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+            flags += " --xla_force_host_platform_device_count=8"
+        if args.one_thread_per_device:
+            flags += " --xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+        os.environ["XLA_FLAGS"] = flags
 
     import jax
 
@@ -82,32 +93,59 @@ def main(argv=None):
         fixed=jnp.zeros(F, bool).at[0].set(True),
     )
 
-    results = {}
-    for s in shards:
-        mesh = mesh_mod.make_mesh(s)
-        run = lambda: sharded_ba.distributed_bundle_adjust(prob, mesh, n_iters=args.iters)
-        res = run()
-        jax.block_until_ready(res.poses)
-        t0 = time.perf_counter()
-        n_rep = 3
-        for _ in range(n_rep):
+    results = {"dense": {}, "cg": {}}
+    n_cores = os.cpu_count() or 1
+    for solver in ("dense", "cg"):
+        for s in shards:
+            mesh = mesh_mod.make_mesh(s)
+            run = lambda: sharded_ba.distributed_bundle_adjust(
+                prob, mesh, n_iters=args.iters, solver=solver
+            )
             res = run()
-        jax.block_until_ready(res.poses)
-        dt = (time.perf_counter() - t0) / n_rep
-        iters_sec = args.iters / dt
-        results[s] = iters_sec
-        eff = iters_sec / (results[1] * s) if 1 in results and s > 1 else 1.0
-        print(
-            f"shards={s}: {dt * 1e3:7.1f} ms / {args.iters} LM iters "
-            f"-> {iters_sec:7.1f} iters/s  efficiency={eff:.2f}",
-            flush=True,
-        )
-    print(json.dumps({
+            jax.block_until_ready(res.poses)
+            t0 = time.perf_counter()
+            n_rep = 3
+            for _ in range(n_rep):
+                res = run()
+            jax.block_until_ready(res.poses)
+            dt = (time.perf_counter() - t0) / n_rep
+            iters_sec = args.iters / dt
+            results[solver][s] = iters_sec
+            # On a shared-core virtual mesh, speedup beyond the physical core
+            # count is impossible by construction; normalize to the
+            # achievable parallelism so "efficiency" measures collective +
+            # load-balance overhead, not the host's core budget.
+            achievable = min(s, n_cores) if args.one_thread_per_device else 1
+            base = results[solver].get(1)
+            eff = iters_sec / (base * achievable) if base and s > 1 else 1.0
+            print(
+                f"[{solver}] shards={s}: {dt * 1e3:7.1f} ms / {args.iters} LM iters "
+                f"-> {iters_sec:7.1f} iters/s  efficiency={eff:.2f} "
+                f"(vs {achievable} core(s))",
+                flush=True,
+            )
+    out = {
         "metric": "distributed BA LM iters/sec by shard count",
         "frames": F, "points": P, "edges": F * OBS,
-        "results": {str(k): round(v, 2) for k, v in results.items()},
+        "results": {
+            sol: {str(k): round(v, 2) for k, v in r.items()}
+            for sol, r in results.items()
+        },
+        "physical_cores": n_cores,
+        "one_thread_per_device": bool(args.one_thread_per_device),
+        "note": (
+            "virtual CPU mesh shares physical cores; efficiency is "
+            "normalized to min(shards, cores) threads when "
+            "one_thread_per_device, else raw iters/sec only — absolute "
+            "scaling numbers require a real multi-chip slice"
+        ),
         "devices": str(jax.devices()[0]),
-    }))
+    }
+    s_json = json.dumps(out)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(json.dumps(out, indent=1) + "\n")
+    print(s_json)
 
 
 if __name__ == "__main__":
