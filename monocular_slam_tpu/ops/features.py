@@ -64,8 +64,14 @@ def extract(
         blurred = pyramid.gaussian_blur(im_l, sigma=2.0, radius=3)
         ang = orb.orientations(im_l, corners.yx)
         desc = orb.descriptors(blurred, corners.yx, ang)
+        # sub-pixel corner localization (score-parabola) for the reported
+        # positions; orientation/descriptor sampling stays on the integer
+        # grid they were designed for
+        yx_ref = corners.yx + fast.subpixel_offsets(
+            im_l, corners.yx, fast_threshold
+        )
         # positions back to level-0 pixels, as (x, y) to match uv convention
-        uv = jnp.stack([corners.yx[:, 1], corners.yx[:, 0]], axis=-1) * sc
+        uv = jnp.stack([yx_ref[:, 1], yx_ref[:, 0]], axis=-1) * sc
         uvs.append(uv)
         descs.append(desc)
         angles.append(ang)
