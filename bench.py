@@ -9,7 +9,10 @@ default JAX device (real TPU under the driver).
   3. BA iters/sec: LM iterations/sec of the windowed local BA solve (the
      g2o `G2OBatchStatistics` analog).
 
-Prints ONE JSON line with `metric`/`value`/`vs_baseline` = metric 1.
+Prints ONE JSON line. The flagship `metric`/`value`/`vs_baseline` is the
+IMAGE PIPELINE fps (the BASELINE.json metric); the fused kernel-path fps is
+reported separately as `kernel_fps` (a device-bound upper bound, not the
+product number).
 
 Baseline note: the C++ reference publishes no numbers (BASELINE.md) and its
 2013-era dependency stack (OpenCV 2.4 nonfree, PCL, boost) cannot be built in
@@ -91,7 +94,11 @@ def bench_image_pipeline(n_feat: int):
     import numpy as np
 
     root = os.environ.get("MSLAM_BENCH_TUM", "/tmp/mslam_bench_tum")
-    if not os.path.exists(os.path.join(root, "rgb.txt")):
+    vfile = os.path.join(root, "VERSION")
+    cached_v = open(vfile).read().strip() if os.path.exists(vfile) else None
+    if not os.path.exists(os.path.join(root, "rgb.txt")) or cached_v != str(
+        render.RENDER_VERSION
+    ):
         log("rendering TUM-format benchmark dataset ...")
         render.export_tum(root, key=jax.random.PRNGKey(11), n_frames=60, wh=(640, 480))
     seq = tum.load(root)
@@ -181,18 +188,23 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames/sec (tracking+local BA, 1000 feat/frame)",
-                "value": round(fps, 2),
+                # flagship = the BASELINE.json metric: full image pipeline
+                # (disk PNG -> ORB -> PnP -> local BA), fps + ATE, vs the
+                # DOCUMENTED ~10 fps estimate for the unbuildable 2013-stack
+                # C++ reference (see module docstring)
+                "metric": "image pipeline fps (PNG->ORB->track->BA, 640x480)",
+                "value": round(img_fps, 2),
                 "unit": "fps",
-                "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
-                "ate_mm": round(r.rmse * 1e3, 3),
-                "tracked": f"{int(valid.sum())}/{len(valid)}",
-                "ba_iters_per_sec": round(ba_ips, 1),
-                "image_pipeline_fps": round(img_fps, 2),
+                "vs_baseline": round(img_fps / REFERENCE_FPS_ESTIMATE, 2),
+                "baseline_note": "reference estimate 10 fps (unmeasurable: 2013 OpenCV2.4/PCL stack)",
                 "image_pipeline_ate_cm": round(img_ate * 100, 3),
                 "image_pipeline_tracked": f"{img_tracked}/{img_n}",
-                "warmup_s": round(warmup_feat, 1),
                 "image_warmup_s": round(warmup_img, 1),
+                "kernel_fps": round(fps, 2),
+                "kernel_ate_mm": round(r.rmse * 1e3, 3),
+                "kernel_tracked": f"{int(valid.sum())}/{len(valid)}",
+                "ba_iters_per_sec": round(ba_ips, 1),
+                "warmup_s": round(warmup_feat, 1),
                 "device": str(dev),
             }
         )

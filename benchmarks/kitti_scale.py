@@ -45,8 +45,9 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     rot = jnp.stack([jnp.zeros(n_kf), ang, jnp.zeros(n_kf)], -1)
     verts = sim3.pack(jax.vmap(so3.exp)(rot), t, jnp.ones(n_kf))
     # drift: accumulating odometry error (the regime a loop closure corrects),
-    # not i.i.d. jitter — gives the optimizer real work at 10k keyframes
-    step_noise = 0.004 * jax.random.normal(key, (n_kf, 7))
+    # not i.i.d. jitter — sized so LM has real work for the whole iteration
+    # budget instead of stalling after 2-3 steps (VERDICT r2 weak #4)
+    step_noise = 0.01 * jax.random.normal(key, (n_kf, 7))
     noise = jnp.cumsum(step_noise.at[0].set(0.0), axis=0)
     verts_n = sim3.compose(sim3.exp(noise), verts)
 
@@ -66,12 +67,16 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
         res = f(g)
         jax.block_until_ready(res.vertices)
     dt = (time.perf_counter() - t0) / n_rep
+    # honest throughput: LM freezes into a no-op branch once improvement
+    # stalls, so divide wall time by iterations actually EXECUTED
+    n_run = int(res.n_iters_run)
     return {
         "n_keyframes": n_kf,
         "n_edges": int(g.i_idx.shape[0]),
-        "lm_iters": iters,
-        "sec_per_lm_iter": round(dt / iters, 6),
-        "iters_per_sec": round(iters / dt, 2),
+        "lm_iters_requested": iters,
+        "lm_iters_run": n_run,
+        "sec_per_executed_lm_iter": round(dt / max(n_run, 1), 6),
+        "executed_iters_per_sec": round(max(n_run, 1) / dt, 2),
         "chi2_initial": float(res.chi2_initial),
         "chi2_final": float(res.chi2_history[-1]),
         "mem_mb": device_mem_mb(),
@@ -86,7 +91,7 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
     from monocular_slam_tpu.optim import ba, cg_ba
 
     key = jax.random.PRNGKey(1)
-    kx, kn, kp, kt = jax.random.split(key, 4)
+    kx, kn, kp, kt, kpt = jax.random.split(key, 5)
     # cameras orbit a point cloud at the origin, always looking inward: every
     # landmark sits comfortably in front of every camera (depths ~50-110),
     # so the synthetic graph is well-conditioned like a real survey rig —
@@ -114,7 +119,7 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
     uv = uv + 0.5 * jax.random.normal(kn, uv.shape)
     prob = ba.BAProblem(
         poses=se3.compose(se3.exp(0.005 * jax.random.normal(kt, (F, 6))), poses),
-        points=X + 0.1 * jax.random.normal(kx, X.shape),
+        points=X + 0.1 * jax.random.normal(kpt, X.shape),
         k=jnp.broadcast_to(k, (F, 4)),
         cam_idx=cam_idx,
         pt_idx=pt_idx,
@@ -130,13 +135,15 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
     res = f(prob)
     jax.block_until_ready(res.poses)
     dt = time.perf_counter() - t0
+    n_run = int(res.n_iters_run)
     return {
         "n_frames": F,
         "n_points": P,
         "n_edges": E,
-        "lm_iters": iters,
-        "sec_per_lm_iter": round(dt / iters, 6),
-        "iters_per_sec": round(iters / dt, 2),
+        "lm_iters_requested": iters,
+        "lm_iters_run": n_run,
+        "sec_per_executed_lm_iter": round(dt / max(n_run, 1), 6),
+        "executed_iters_per_sec": round(max(n_run, 1) / dt, 2),
         "chi2_initial": float(res.chi2_initial),
         "chi2_final": float(res.chi2_history[-1]),
         "mem_mb": device_mem_mb(),

@@ -21,6 +21,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def cg_comm_bytes_per_iter(n_frames: int) -> int:
+    """Analytic communication model of the sharded-CG Schur path: each CG
+    step psums ONE (F, 6) f32 vector (`parallel/sharded_ba.py` matvec) —
+    4*6*F bytes per direction, independent of landmark count. The HLO-level
+    check lives in tests/test_comm_volume.py."""
+    return 4 * 6 * n_frames
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=32)
@@ -118,10 +126,16 @@ def main(argv=None):
             achievable = min(s, n_cores) if args.one_thread_per_device else 1
             base = results[solver].get(1)
             eff = iters_sec / (base * achievable) if base and s > 1 else 1.0
+            # without one-thread-per-device this is raw speedup vs 1 shard,
+            # NOT an efficiency — label it honestly
+            label = (
+                f"efficiency={eff:.2f} (vs {achievable} core(s))"
+                if args.one_thread_per_device
+                else f"speedup={eff:.2f}"
+            )
             print(
                 f"[{solver}] shards={s}: {dt * 1e3:7.1f} ms / {args.iters} LM iters "
-                f"-> {iters_sec:7.1f} iters/s  efficiency={eff:.2f} "
-                f"(vs {achievable} core(s))",
+                f"-> {iters_sec:7.1f} iters/s  {label}",
                 flush=True,
             )
     out = {
@@ -140,6 +154,11 @@ def main(argv=None):
             "scaling numbers require a real multi-chip slice"
         ),
         "devices": str(jax.devices()[0]),
+        "cg_comm_model": {
+            "bytes_per_cg_iter_per_direction": cg_comm_bytes_per_iter(F),
+            "formula": "4 * 6 * F (one (F,6) f32 psum per CG step; no F^2 or P terms)",
+            "hlo_check": "tests/test_comm_volume.py",
+        },
     }
     s_json = json.dumps(out)
     if args.out:

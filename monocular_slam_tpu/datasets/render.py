@@ -28,6 +28,10 @@ from monocular_slam_tpu.geometry import se3
 # exported under a 'synth' id so `intrinsics.lookup` applies zero distortion.
 SYNTH_K = np.array([517.3, 516.5, 318.6, 255.3])
 
+# Bump when the renderer's output changes so cached on-disk datasets
+# (bench.py keeps one under /tmp) are regenerated instead of reused stale.
+RENDER_VERSION = 2
+
 
 class Plane(NamedTuple):
     origin: jnp.ndarray  # (3,) corner point
@@ -37,15 +41,16 @@ class Plane(NamedTuple):
     tex_id: jnp.ndarray  # () int32
 
 
-def _texture(key, size: int = 1024) -> jnp.ndarray:
+def _texture(key, size: int = 2048) -> jnp.ndarray:
     """High-contrast multi-scale noise texture (ORB-friendly corners)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     # cubic-only (band-limited) noise: nearest-neighbour blocks alias under
     # viewpoint change and destabilize ORB descriptors frame-to-frame
     coarse = jax.image.resize(jax.random.uniform(k1, (32, 32)), (size, size), "cubic")
     mid = jax.image.resize(jax.random.uniform(k2, (96, 96)), (size, size), "cubic")
-    fine = jax.image.resize(jax.random.uniform(k3, (192, 192)), (size, size), "cubic")
-    img = 0.40 * coarse + 0.35 * mid + 0.25 * fine
+    fine = jax.image.resize(jax.random.uniform(k3, (256, 256)), (size, size), "cubic")
+    xfine = jax.image.resize(jax.random.uniform(k4, (512, 512)), (size, size), "cubic")
+    img = 0.35 * coarse + 0.30 * mid + 0.20 * fine + 0.15 * xfine
     lo, hi = jnp.min(img), jnp.max(img)
     img = (img - lo) / (hi - lo)
     # soft-threshold into high-contrast blobs: crisp, repeatable FAST corners
@@ -109,16 +114,22 @@ def render_frame(pose, k, wh, planes: Plane, textures: jnp.ndarray) -> jnp.ndarr
         lu = (pt - origin) @ u
         lv = (pt - origin) @ v
         ok = (t > 1e-3) & (lu >= 0) & (lu <= extent[0]) & (lv >= 0) & (lv <= extent[1])
-        return jnp.where(ok, t, jnp.inf), lu / extent[0], lv / extent[1]
+        return jnp.where(ok, t, jnp.inf), lu, lv
 
     ts, lus, lvs = jax.vmap(hit_plane)(planes.origin, planes.u, planes.v, planes.extent, n)
     best = jnp.argmin(ts, axis=0)  # (H, W) nearest plane id
-    lu = jnp.take_along_axis(lus, best[None], axis=0)[0]
+    lu = jnp.take_along_axis(lus, best[None], axis=0)[0]  # meters along u
     lv = jnp.take_along_axis(lvs, best[None], axis=0)[0]
     tex_idx = planes.tex_id.astype(jnp.int32)[best]
+    # Isotropic texel density: texture coords scale with PHYSICAL size, so a
+    # square texture is never stretched over a non-square face (a stretched
+    # texture smears its detail along one axis and starves ORB of corners —
+    # the original normalized mapping blurred the 0.9 x 3.6 m pillar 4:1).
+    # The largest face spans the full texture; smaller faces use a sub-rect.
+    density = (S - 1.0) / jnp.max(planes.extent)
     # bilinear texture sampling (nearest aliases under viewpoint change)
-    uf = jnp.clip(lu * (S - 1), 0.0, S - 1.0)
-    vf = jnp.clip(lv * (S - 1), 0.0, S - 1.0)
+    uf = jnp.clip(lu * density, 0.0, S - 1.0)
+    vf = jnp.clip(lv * density, 0.0, S - 1.0)
     u0 = jnp.clip(uf.astype(jnp.int32), 0, S - 2)
     v0 = jnp.clip(vf.astype(jnp.int32), 0, S - 2)
     au, av = uf - u0, vf - v0
@@ -201,6 +212,8 @@ def export_tum(
         gt_lines.append(_rt_to_tum_line(ts, poses[i]))
     with open(os.path.join(root, "rgb.txt"), "w") as f:
         f.write("\n".join(rgb_lines) + "\n")
+    with open(os.path.join(root, "VERSION"), "w") as f:
+        f.write(f"{RENDER_VERSION}\n")
     with open(os.path.join(root, "calib.txt"), "w") as f:
         f.write(" ".join(f"{v:.6f}" for v in k) + f" {wh[0]} {wh[1]}\n")
     with open(os.path.join(root, "groundtruth.txt"), "w") as f:

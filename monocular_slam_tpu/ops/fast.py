@@ -114,8 +114,10 @@ def subpixel_offsets(
     d = ring - center[None]
     bright = jnp.max(_circular_min9(d), axis=0)
     dark = jnp.max(_circular_min9(-d), axis=0)
-    s = jnp.maximum(bright, dark)
-    s = jnp.where(s > threshold, s, 0.0)  # (K, 3, 3)
+    # Fit on the RAW score field: clamping neighbours just under the
+    # threshold to zero would warp the parabola vertex near the threshold
+    # boundary. The threshold participates only in the `ok` gate below.
+    s = jnp.maximum(bright, dark)  # (K, 3, 3)
 
     def parab(sm, s0, sp):
         denom = sm - 2.0 * s0 + sp
@@ -128,7 +130,7 @@ def subpixel_offsets(
     ok = (
         (yi >= BORDER + 1) & (yi < H - BORDER - 1)
         & (xi >= BORDER + 1) & (xi < W - BORDER - 1)
-        & (s[:, 1, 1] > 0)
+        & (s[:, 1, 1] > threshold)
     )
     off = jnp.stack([dy_off, dx_off], axis=-1)
     return jnp.where(ok[:, None], off, 0.0).astype(img.dtype)

@@ -286,6 +286,27 @@ def distributed_bundle_adjust(
     solver="cg": matrix-free block-Jacobi PCG (`optim/cg_ba.py`) — one (F,6)
     psum per CG step, no F^2 communication; the KITTI-scale path.
     """
+    fn, args, P_orig = build_sharded_fn(
+        prob, mesh, n_iters=n_iters, delta=delta, tau=tau, solver=solver,
+        max_cg_iters=max_cg_iters, cg_rtol=cg_rtol,
+    )
+    poses, points, chi2_0, chi2_h, it = fn(*args)
+    return ShardedBAResult(poses, points[:P_orig], chi2_0, chi2_h, it)
+
+
+def build_sharded_fn(
+    prob: ba_mod.BAProblem,
+    mesh: Mesh,
+    n_iters: int = ba_mod.FULL_BA_ITER,
+    delta: float = ba_mod.THRESH_HUBER_FULL_BA,
+    tau: float = 1e-5,
+    solver: str = "dense",
+    max_cg_iters: int = 100,
+    cg_rtol: float = 1e-8,
+):
+    """(jitted fn, args, P_orig) for the sharded LM program — split out so
+    tests can `fn.lower(*args)` and machine-check the compiled collectives
+    (communication-volume contract) without running it."""
     n_shards = mesh.shape["model"]
     pprob, P_orig = partition_problem(prob, n_shards)
     slab = pprob.points.shape[0] // n_shards
@@ -311,8 +332,8 @@ def distributed_bundle_adjust(
             out_specs=(P(), P("model"), P(), P(), P()),
         )
     )
-    poses, points, chi2_0, chi2_h, it = fn(
+    args = (
         pprob.poses, pprob.points, pprob.k, pprob.cam_idx, pprob.pt_idx,
         pprob.uv, pprob.info, pprob.valid, pprob.fixed,
     )
-    return ShardedBAResult(poses, points[:P_orig], chi2_0, chi2_h, it)
+    return fn, args, P_orig

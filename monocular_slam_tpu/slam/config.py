@@ -27,6 +27,13 @@ class InitConfig:
     sampson_px: float = 1.5  # inlier threshold in pixels
     min_inliers: int = 30
     max_cos_parallax: float = 0.99995  # reject rays with < ~0.6 deg parallax
+    refine_iters: int = 25  # two-view BA polish of the algebraic init
+    refine_px_thresh: float = 2.0  # post-refine reprojection gate
+    # acceptance: the map must contain enough points whose depth is actually
+    # observable, else the session defers and retries on a later frame
+    strong_cos_parallax: float = 0.99985  # ~1 deg
+    min_strong_parallax: int = 50
+    max_defer: int = 6  # frames to wait before sliding the init reference
 
 
 @dataclass(frozen=True)
@@ -38,6 +45,16 @@ class TrackConfig:
     triangulate_px_thresh: float = 2.0
     min_depth: float = 0.05
     max_depth: float = 100.0
+    # TrackLocalMap (ORB-SLAM's track-local-map step; the capability the
+    # reference declared as SearchInNeighbors, `src/LocalMapper.h:36`):
+    # project window-covisible map points into the PnP pose, adopt
+    # associations for still-free features, then motion-only re-refine.
+    track_local_map: bool = True
+    local_map_cap: int = 4096  # projection slab capacity
+    local_radius_px: float = 9.0  # projection search radius (PnP pose)
+    predict_radius_px: float = 18.0  # search radius under the motion model
+    local_max_hamming: int = 64
+    triangulate_max_cos_parallax: float = 0.99985  # ~1 deg minimum parallax
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,7 @@ class LoopCloser:
 
         self._score = jax.jit(_score_masked)
         self._hits: list[int] = []  # recent candidate history
+        self._inserted: list[int] = []  # DB rows actually populated
         self._cooldown_until = -1
         self.closures: list[tuple[int, int]] = []
 
@@ -90,23 +91,39 @@ class LoopCloser:
     def add_frame(self, state: SlamState, i: int) -> None:
         q = self._bow(state.desc_pm1[i], state.kp_valid[i])
         self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
+        self._inserted.append(i)
 
-    def detect(self, i: int) -> Optional[int]:
-        """Return a loop-candidate frame index for frame i, or None."""
+    def detect(self, i: int, q=None) -> Optional[int]:
+        """Return a loop-candidate frame index for frame i, or None.
+
+        `q` is the query BoW vector (defaults to DB row i, for callers that
+        inserted the frame first). Only rows actually inserted (keyframes,
+        when the session gates ingest) participate in scoring and in the
+        similarity floor; the QUERY runs for every tracked frame so the
+        consecutive-hit consistency check converges at frame rate even when
+        keyframes are sparse."""
         lc = self.lc
         if i < lc.min_gap or i < self._cooldown_until:
             return None
-        n_valid = max(i - lc.min_gap, 0)
-        if n_valid == 0:
+        cand_ids = np.asarray(
+            [f for f in self._inserted if f < i and f <= i - lc.min_gap],
+            dtype=np.int64,
+        )
+        if cand_ids.size == 0:
             return None
-        scores = np.asarray(
-            self._score(self._db[i], self._db, jnp.asarray(n_valid, jnp.int32))
-        )[:n_valid]
-        j = int(scores.argmax())
+        n_valid = int(cand_ids.max()) + 1
+        if q is None:
+            q = self._db[i]
+        scores_all = np.asarray(
+            self._score(q, self._db, jnp.asarray(n_valid, jnp.int32))
+        )
+        scores = scores_all[cand_ids]
+        b = int(scores.argmax())
+        j = int(cand_ids[b])
         # Similarity floor: median for a populated database, min for a tiny
         # one (a genuine revisit must pop out of whatever history exists).
         floor = float(np.median(scores)) if len(scores) >= 3 else float(scores.min())
-        if scores[j] < lc.min_score or scores[j] < floor + lc.margin:
+        if scores[b] < lc.min_score or scores[b] < floor + lc.margin:
             self._hits.append(-1)
             return None
         self._hits.append(j)
@@ -146,13 +163,21 @@ class LoopCloser:
         return res.S, int(res.n_inliers)
 
     # --- correction ---------------------------------------------------------
-    def correct(self, state: SlamState, i: int, j: int, S_align) -> SlamState:
+    def correct(
+        self, state: SlamState, i: int, j: int, S_align, keyframes=None
+    ) -> SlamState:
         """Pose-graph optimize with the loop edge and correct the map.
 
         S_align maps current (drifted, frame-i-side) world points onto the
         frame-j-consistent world: X_j ~ S(X_i). The corrected camera i is
         T_i' = T_i o S^{-1}; the loop edge measurement between vertices i and
         j is S_meas_ij = (T_i o S^{-1}) o T_j^{-1} lifted to Sim3.
+
+        With `keyframes` (sorted frame indices), the graph spans ONLY the
+        keyframes — the essential graph of ORBSLAM.png — and every
+        non-keyframe is corrected through its reference keyframe afterwards
+        (T_f' = (T_f o T_r^{-1}) o T_r'), so graph cost scales with
+        keyframes, not trajectory length.
         """
         F = int(state.n_frames)
         Fc = state.poses.shape[0]
@@ -161,19 +186,49 @@ class LoopCloser:
         meas_loop = sim3.compose(T_i_corr, sim3.inverse(sim3.from_se3(state.poses[j])))
 
         valid = state.pose_valid & (jnp.arange(Fc) < F)
-        g = pose_graph.sequential_graph(
-            verts,
-            valid,
-            extra_i=[i],
-            extra_j=[j],
-            extra_meas=meas_loop[None],
-            loop_weight=20.0,
-        )
-        # frames beyond the ingested range must not move
-        fixed = g.fixed | ~valid
-        g = g._replace(fixed=fixed)
-        res = pose_graph.optimize(g, n_iters=20)
-        verts_new = res.vertices
+        if keyframes is not None:
+            kf = np.asarray(sorted(set(list(map(int, keyframes)) + [i, j])))
+            kf = kf[np.asarray(valid)[kf]]
+            kf_j = jnp.asarray(kf, jnp.int32)
+            pos_of = {int(f): p for p, f in enumerate(kf)}
+            g = pose_graph.sequential_graph(
+                verts[kf_j],
+                jnp.ones(len(kf), bool),
+                extra_i=[pos_of[i]],
+                extra_j=[pos_of[j]],
+                extra_meas=meas_loop[None],
+                loop_weight=20.0,
+            )
+            res = pose_graph.optimize(g, n_iters=20)
+            # propagate each non-keyframe through its reference (most recent
+            # preceding) keyframe: S_f' = (S_f o S_r^{-1}) o S_r'
+            idx = jnp.arange(Fc, dtype=jnp.int32)
+            in_kf = jnp.zeros(Fc, bool).at[kf_j].set(True)
+            kf_pos = jnp.zeros(Fc, jnp.int32).at[kf_j].set(
+                jnp.arange(len(kf), dtype=jnp.int32)
+            )
+            ref_pos = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(in_kf, kf_pos, -1)
+            )
+            ref_pos = jnp.maximum(ref_pos, 0)  # frames before the first KF
+            S_ref_old = verts[kf_j][ref_pos]  # (Fc, 3, 5)
+            S_ref_new = res.vertices[ref_pos]
+            rel = sim3.compose(verts, sim3.inverse(S_ref_old))
+            verts_new = sim3.compose(rel, S_ref_new)
+        else:
+            g = pose_graph.sequential_graph(
+                verts,
+                valid,
+                extra_i=[i],
+                extra_j=[j],
+                extra_meas=meas_loop[None],
+                loop_weight=20.0,
+            )
+            # frames beyond the ingested range must not move
+            fixed = g.fixed | ~valid
+            g = g._replace(fixed=fixed)
+            res = pose_graph.optimize(g, n_iters=20)
+            verts_new = res.vertices
 
         # Map-point correction: move each point with its anchor frame (first
         # observer): X' = S_new_anchor^{-1}( S_old_anchor (X) ).
@@ -204,11 +259,23 @@ class LoopCloser:
         self._hits.clear()
 
         if self.lc.run_global_ba:
-            state = self._global_ba(state)
+            state = self._global_ba(state, keyframes=keyframes)
         return state
 
-    def _global_ba(self, state: SlamState) -> SlamState:
+    def _global_ba(self, state: SlamState, keyframes=None) -> SlamState:
+        """Global BA after a closure. With `keyframes`, non-keyframes are
+        marginalized out: their poses stay fixed at the pose-graph-propagated
+        values and their observations are dropped, so the solve scales with
+        the keyframe count (the essential-graph discipline)."""
         cam_idx, pt_idx, uv, info, valid = state_mod.observation_edges(state)
+        Fc = state.poses.shape[0]
+        fixed = ~state.pose_valid | (jnp.arange(Fc) == 0)
+        if keyframes is not None:
+            kf_mask = jnp.zeros(Fc, bool).at[
+                jnp.asarray(list(map(int, keyframes)), jnp.int32)
+            ].set(True)
+            valid = valid & kf_mask[cam_idx]
+            fixed = fixed | ~kf_mask
         prob = ba_mod.BAProblem(
             poses=state.poses,
             points=state.points,
@@ -218,20 +285,28 @@ class LoopCloser:
             uv=uv,
             info=info,
             valid=valid,
-            fixed=~state.pose_valid | (jnp.arange(state.poses.shape[0]) == 0),
+            fixed=fixed,
         )
         res = ba_mod.bundle_adjust(prob, n_iters=self.lc.global_ba_iters)
         return state._replace(poses=res.poses, points=res.points)
 
     # --- one-call driver ----------------------------------------------------
-    def run(self, state: SlamState, i: int, key) -> tuple[SlamState, bool]:
+    def run(
+        self, state: SlamState, i: int, key, is_keyframe: bool = True,
+        keyframes=None,
+    ) -> tuple[SlamState, bool]:
         """DetectLoop -> ComputeSim3 -> CorrectLoop (`LoopCloser.cpp:10-17`),
-        returning (possibly corrected state, closed?)."""
-        self.add_frame(state, i)
-        j = self.detect(i)
+        returning (possibly corrected state, closed?). When the session
+        passes keyframe information, only keyframes enter the BoW database
+        and the correction runs on the keyframe (essential) graph."""
+        q = self._bow(state.desc_pm1[i], state.kp_valid[i])
+        j = self.detect(i, q=q)
+        if is_keyframe:
+            self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
+            self._inserted.append(i)
         if j is None:
             return state, False
         S, n_inl = self.compute_sim3(state, i, j, key)
         if S is None:
             return state, False
-        return self.correct(state, i, j, S), True
+        return self.correct(state, i, j, S, keyframes=keyframes), True

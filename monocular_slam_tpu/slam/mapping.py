@@ -84,7 +84,13 @@ def cull_points(
     dangling = cull[jnp.maximum(fp, 0)] & (fp >= 0)
     fp = jnp.where(dangling, -1, fp)
     return (
-        state._replace(point_valid=point_valid, feat_point=fp),
+        state._replace(
+            point_valid=point_valid,
+            feat_point=fp,
+            # freed slots are recycled by allocate_points; n_points tracks
+            # the LIVE count, not a high-water cursor
+            n_points=jnp.sum(point_valid.astype(jnp.int32)),
+        ),
         jnp.sum(cull.astype(jnp.int32)),
     )
 

@@ -1,17 +1,22 @@
 """SlamSession — host-side driver orchestrating the jitted SLAM stages.
 
 The TPU analog of the reference's `main` loop + `ProcessingPipeline`
-(`src/main.cpp:40-51`, `src/Pipeline.h:49-65`): stages run in order per
-frame, each a pure jitted function over the on-device SlamState. Frame-count
-branching (frame 0 / frame 1 / frame >= 2, `CameraPoseEstimator.cpp:517-527`)
-lives here on the host; everything below is compiled once.
+(`src/main.cpp:40-51`, `src/Pipeline.h:49-65`). Frame-count branching
+(frame 0 / bootstrap / tracked, `CameraPoseEstimator.cpp:517-527`) lives on
+the host; once initialized, each frame is ONE compiled program
+(`_session_step`: track -> local BA -> fuse -> cull -> keyframe rule) with
+zero host round-trips — stage results come back as device scalars that are
+only synced if someone reads them. The reference runs its stages as separate
+virtual calls over shared memory (`Pipeline.h:57-64`); separate *dispatches*
+here would each cost a host->device hop and a sync per `int()` (measured
+3.2 fps vs the fused step's 50+, BENCH_r02).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,16 +31,101 @@ from monocular_slam_tpu.slam.state import SlamState
 
 @dataclass
 class FrameStats:
+    """Per-frame outcomes. After the fused step these hold DEVICE scalars;
+    reading one (bool()/int()/float()) syncs, so don't in a hot loop."""
+
     frame: int
-    tracked: bool
-    n_inliers: int
-    n_new_points: int
-    chi2_before: float = float("nan")
-    chi2_after: float = float("nan")
+    tracked: object
+    n_inliers: object
+    n_new_points: object
+    chi2_before: object = float("nan")
+    chi2_after: object = float("nan")
     loop_closed: bool = False
-    is_keyframe: bool = False
-    n_fused: int = 0
-    n_culled: int = 0
+    is_keyframe: object = False
+    n_fused: object = 0
+    n_culled: object = 0
+
+
+class StepStats(NamedTuple):
+    tracked: jnp.ndarray
+    n_inliers: jnp.ndarray
+    n_new_points: jnp.ndarray
+    chi2_before: jnp.ndarray
+    chi2_after: jnp.ndarray
+    n_fused: jnp.ndarray
+    n_culled: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    last_kf: jnp.ndarray
+
+
+def _session_step(
+    state: SlamState, i, last_kf, key, cfg: SlamConfig, run_ba: bool
+) -> tuple[SlamState, StepStats]:
+    """One fused per-frame step for an initialized session: PnP track, then
+    (conditionally, on-device) local BA, fuse, cull, and the keyframe rule.
+    `lax.cond` skips the untaken work at runtime while keeping this a single
+    compiled program."""
+    tres = tracker.track(state, i, key, cfg)
+    state = tres.state
+    nan = jnp.asarray(jnp.nan, state.poses.dtype)
+
+    if run_ba:
+        def _ba(st):
+            r = local_ba.local_bundle_adjust(st, i, cfg)
+            return r.state, r.chi2_initial, r.chi2_final
+
+        state, chi2_0, chi2_1 = jax.lax.cond(
+            tres.ok, _ba, lambda st: (st, nan, nan), state
+        )
+    else:
+        chi2_0 = chi2_1 = nan
+
+    m = cfg.mapping
+    zero = jnp.asarray(0, jnp.int32)
+    n_fused = n_culled = zero
+    if m.enabled and m.fuse_every:
+        def _fuse(st):
+            r = mapping.fuse(
+                st, i, radius_px=m.fuse_radius_px,
+                max_hamming=m.fuse_max_hamming, image_wh=cfg.image_wh,
+            )
+            return r.state, r.n_associated.astype(jnp.int32)
+
+        state, n_fused = jax.lax.cond(
+            tres.ok & (i % m.fuse_every == 0),
+            _fuse, lambda st: (st, zero), state,
+        )
+    if m.enabled and m.cull_every:
+        state, n_culled = jax.lax.cond(
+            tres.ok & (i % m.cull_every == 0),
+            lambda st: (lambda r: (r[0], r[1].astype(jnp.int32)))(
+                mapping.cull_points(
+                    st, i, min_obs=m.cull_min_obs, grace=m.cull_grace
+                )
+            ),
+            lambda st: (st, zero), state,
+        )
+
+    # keyframe rule (Mapper.insertKeyFrame, ORBSLAM.png): first tracked frame,
+    # overlap with the last keyframe dropped, or max gap exceeded
+    ov = mapping.frame_overlap(state, i, jnp.maximum(last_kf, 0))
+    is_kf = tres.ok & (
+        (last_kf < 0)
+        | (ov < m.keyframe_overlap)
+        | (i - last_kf >= m.keyframe_max_gap)
+    )
+    last_kf = jnp.where(is_kf, jnp.asarray(i, jnp.int32), last_kf)
+    return state, StepStats(
+        tracked=tres.ok,
+        n_inliers=tres.n_pnp_inliers,
+        n_new_points=tres.n_new_points,
+        chi2_before=chi2_0,
+        chi2_after=chi2_1,
+        n_fused=n_fused,
+        n_culled=n_culled,
+        is_keyframe=is_kf,
+        last_kf=last_kf,
+    )
 
 
 class SlamSession:
@@ -61,6 +151,7 @@ class SlamSession:
         self.state: SlamState = state_mod.empty_state(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.stats: list[FrameStats] = []
+        self.timestamps: list[float] = []  # host-side (f32 can't hold epochs)
         self._next = 0
 
         # jit the stages once (cfg is static through closure)
@@ -72,26 +163,18 @@ class SlamSession:
                 fast_threshold=cfg.frontend.fast_threshold,
             )
         )
-        self._bootstrap = jax.jit(lambda st, key: tracker.bootstrap(st, key, cfg))
-        self._track = jax.jit(lambda st, i, key: tracker.track(st, i, key, cfg))
-        self._local_ba = jax.jit(lambda st, i: local_ba.local_bundle_adjust(st, i, cfg))
+        self._bootstrap = jax.jit(
+            lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1)
+        )
+        self._initialized = False
+        self._init_ref = 0  # bootstrap reference frame (slides on failure)
+        self._step = jax.jit(
+            lambda st, i, last_kf, key: _session_step(
+                st, i, last_kf, key, cfg, run_ba
+            )
+        )
         self._add_feats = jax.jit(state_mod.add_frame_features)
-
-        # local-mapping hygiene (the LocalMapper stage, `src/LocalMapper.h:30-42`)
-        m = cfg.mapping
-        self._fuse = jax.jit(
-            lambda st, i: mapping.fuse(
-                st, i, radius_px=m.fuse_radius_px,
-                max_hamming=m.fuse_max_hamming, image_wh=cfg.image_wh,
-            )
-        )
-        self._cull = jax.jit(
-            lambda st, i: mapping.cull_points(
-                st, i, min_obs=m.cull_min_obs, grace=m.cull_grace
-            )
-        )
-        self._overlap = jax.jit(mapping.frame_overlap)
-        self.keyframes: list[int] = []  # Mapper.insertKeyFrame analog
+        self._last_kf = jnp.asarray(-1, jnp.int32)  # device keyframe anchor
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -105,9 +188,7 @@ class SlamSession:
         5-vector) undistorts keypoints before they enter the state — the
         correction the reference only half-applied (SURVEY.md 2.4)."""
         if dist is not None:
-            import numpy as _np
-
-            if _np.any(_np.asarray(dist) != 0):
+            if np.any(np.asarray(dist) != 0):
                 from monocular_slam_tpu.geometry import camera as _cam
 
                 feats = feats._replace(
@@ -119,6 +200,7 @@ class SlamSession:
         if i >= self.cfg.max_frames:
             raise ValueError(f"frame capacity {self.cfg.max_frames} exhausted")
         self._next += 1
+        self.timestamps.append(float(timestamp))
         self.state = self._add_feats(
             self.state,
             i,
@@ -128,55 +210,56 @@ class SlamSession:
             feats.desc,
             feats.desc_pm1,
             jnp.asarray(k),
-            timestamp,
         )
         st = FrameStats(frame=i, tracked=False, n_inliers=0, n_new_points=0)
         if i == 0:
-            self.state = self.state._replace(
-                pose_valid=self.state.pose_valid.at[0].set(True)
-            )
-            st.tracked = True
-        elif i == 1:
-            res = self._bootstrap(self.state, self._split())
+            st.tracked = True  # reference frame; pose_valid set by bootstrap
+        elif not self._initialized:
+            # Deferred two-view initialization: retry against the reference
+            # frame until the map is well-conditioned (the reference runs its
+            # `initialPoseEstimation` exactly once on frames (0, 1) and lives
+            # with whatever it gets, `src/main.cpp:48-51`).
+            res = self._bootstrap(self.state, self._init_ref, i, self._split())
             self.state = res.state
             st.tracked = bool(res.ok)
             st.n_inliers = int(res.n_inliers)
             st.n_new_points = int(res.n_points)
-        else:
-            res = self._track(self.state, i, self._split())
-            self.state = res.state
-            st.tracked = bool(res.ok)
-            st.n_inliers = int(res.n_pnp_inliers)
-            st.n_new_points = int(res.n_new_points)
-            if self.run_ba and st.tracked:
-                bares = self._local_ba(self.state, i)
-                self.state = bares.state
-                st.chi2_before = float(bares.chi2_initial)
-                st.chi2_after = float(bares.chi2_final)
-        # --- local-mapping hygiene (LocalMapper's declared duties) ----------
-        m = self.cfg.mapping
-        if m.enabled and st.tracked and i >= 2:
-            if m.fuse_every and i % m.fuse_every == 0:
-                fres = self._fuse(self.state, i)
-                self.state = fres.state
-                st.n_fused = int(fres.n_associated)
-            if m.cull_every and i % m.cull_every == 0:
-                self.state, n_culled = self._cull(self.state, i)
-                st.n_culled = int(n_culled)
-        # --- keyframe flag (Mapper.insertKeyFrame rule) ----------------------
-        if st.tracked:
-            if not self.keyframes:
+            if st.tracked:
+                self._initialized = True
                 st.is_keyframe = True
-            else:
-                last = self.keyframes[-1]
-                ov = float(self._overlap(self.state, i, last))
-                st.is_keyframe = (
-                    ov < m.keyframe_overlap or (i - last) >= m.keyframe_max_gap
-                )
-            if st.is_keyframe:
-                self.keyframes.append(i)
-        if self.loop_closer is not None and st.tracked and i >= 2:
-            self.state, closed = self.loop_closer.run(self.state, i, self._split())
+                self._last_kf = jnp.asarray(i, jnp.int32)
+                if self.loop_closer is not None:
+                    # the map's first anchor must be queryable for closure
+                    self.loop_closer.add_frame(self.state, i)
+            elif i - self._init_ref >= self.cfg.init.max_defer:
+                self._init_ref = i - 1
+        else:
+            # ONE fused program per frame; stats stay on device (lazy)
+            self.state, s = self._step(
+                self.state, i, self._last_kf, self._split()
+            )
+            self._last_kf = s.last_kf
+            st.tracked = s.tracked
+            st.n_inliers = s.n_inliers
+            st.n_new_points = s.n_new_points
+            st.chi2_before = s.chi2_before
+            st.chi2_after = s.chi2_after
+            st.n_fused = s.n_fused
+            st.n_culled = s.n_culled
+            st.is_keyframe = s.is_keyframe
+        if (
+            self.loop_closer is not None
+            and self._initialized
+            and i >= 2
+            and bool(st.tracked)  # syncs — loop closure is host-driven anyway
+        ):
+            self.state, closed = self.loop_closer.run(
+                self.state,
+                i,
+                self._split(),
+                is_keyframe=bool(st.is_keyframe),
+                keyframes=self.keyframes,
+            )
             st.loop_closed = closed
         self.stats.append(st)
         return st
@@ -187,6 +270,11 @@ class SlamSession:
         return self.add_frame_features(feats, k, timestamp, dist=dist)
 
     # --- outputs -----------------------------------------------------------
+    @property
+    def keyframes(self) -> list[int]:
+        """Keyframe indices (syncs the per-frame flags on first read)."""
+        return [s.frame for s in self.stats if bool(s.is_keyframe)]
+
     def trajectory(self):
         """(poses (F, 3, 4), valid (F,), timestamps (F,)) as numpy, trimmed
         to ingested frames."""
@@ -194,7 +282,7 @@ class SlamSession:
         return (
             np.asarray(self.state.poses[:n]),
             np.asarray(self.state.pose_valid[:n]),
-            np.asarray(self.state.timestamps[:n]),
+            np.asarray(self.timestamps, dtype=np.float64),
         )
 
     def map_points(self):

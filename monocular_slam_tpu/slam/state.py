@@ -26,7 +26,6 @@ class SlamState(NamedTuple):
     # --- frames (capacity F) ---
     poses: jnp.ndarray  # (F, 3, 4) world->camera Rt (`Frame::Rt`)
     pose_valid: jnp.ndarray  # (F,) bool — pose has been estimated
-    timestamps: jnp.ndarray  # (F,) float64
     k: jnp.ndarray  # (F, 4) per-frame intrinsics (`Frame::K`)
     # --- features per frame (capacity F x N) ---
     kp_uv: jnp.ndarray  # (F, N, 2) float32 — undistorted pixels
@@ -38,7 +37,7 @@ class SlamState(NamedTuple):
     # --- map points (capacity P) ---
     points: jnp.ndarray  # (P, 3) world positions
     point_valid: jnp.ndarray  # (P,) bool
-    n_points: jnp.ndarray  # scalar int32 allocation cursor
+    n_points: jnp.ndarray  # scalar int32 — live (valid) map-point count
     n_frames: jnp.ndarray  # scalar int32 — frames ingested so far
 
 
@@ -50,7 +49,6 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> SlamState:
             (F, 1, 1),
         ),
         pose_valid=jnp.zeros(F, bool),
-        timestamps=jnp.zeros(F, jnp.float64),
         k=jnp.zeros((F, 4), dtype),
         kp_uv=jnp.zeros((F, N, 2), dtype),
         kp_scale=jnp.ones((F, N), dtype),
@@ -74,10 +72,11 @@ def add_frame_features(
     desc,
     desc_pm1,
     k,
-    timestamp,
 ) -> SlamState:
     """Write one frame's extracted features into its slot (the
-    `FeatureExtractor::process` write, `src/FeatureExtractor.cpp:13-31`)."""
+    `FeatureExtractor::process` write, `src/FeatureExtractor.cpp:13-31`).
+    Timestamps stay host-side in the session: device f32 cannot hold TUM
+    epoch stamps (~1.3e9 s) to the 0.02 s association tolerance."""
     dtype = state.kp_uv.dtype
     return state._replace(
         kp_uv=state.kp_uv.at[frame_idx].set(uv.astype(dtype)),
@@ -89,7 +88,6 @@ def add_frame_features(
             jnp.full(state.feat_point.shape[1], -1, jnp.int32)
         ),
         k=state.k.at[frame_idx].set(jnp.asarray(k, dtype)),
-        timestamps=state.timestamps.at[frame_idx].set(jnp.asarray(timestamp, state.timestamps.dtype)),
         n_frames=jnp.maximum(state.n_frames, jnp.asarray(frame_idx + 1, jnp.int32)),
     )
 
@@ -119,25 +117,39 @@ def allocate_points(
     state: SlamState, new_xyz: jnp.ndarray, want: jnp.ndarray
 ):
     """Allocate up to sum(want) new map points from a fixed-size candidate
-    buffer. Returns (state', slot_ids (M,) int32) where slot_ids[i] is the
-    allocated id or -1 if not allocated (capacity exhausted or not wanted).
+    buffer into FREE slots (never-used or culled — slots are recycled, so a
+    long run only exhausts capacity when the *live* map outgrows P).
+    Returns (state', slot_ids (M,) int32) where slot_ids[i] is the allocated
+    id or -1 if not allocated (capacity full or not wanted).
 
     Replaces `CameraPoseEstimator::registerNewMapPoint`
-    (`src/CameraPoseEstimator.cpp:235-243`) with a cumsum-ranked scatter.
+    (`src/CameraPoseEstimator.cpp:235-243`) + the slot reuse the reference
+    gets for free from `std::vector` deletion (`src/DataManager.h:29-35`,
+    `MapPoint.cpp:8-28`), as two cumsum rankings and one scatter. Safe
+    because `mapping.cull_points` clears every dangling `feat_point`
+    back-pointer when it frees a slot — nothing can alias a recycled id.
     """
     P = state.points.shape[0]
+    M = want.shape[0]
     rank = jnp.cumsum(want.astype(jnp.int32)) - 1  # rank among wanted
-    slots = state.n_points + rank
+    # rank free slots; slot_of_rank[r] = index of the (r+1)-th free slot
+    free = ~state.point_valid
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1  # (P,)
+    slot_of_rank = (
+        jnp.full(M + 1, P, jnp.int32)
+        .at[jnp.where(free & (frank < M), frank, M)]
+        .set(jnp.arange(P, dtype=jnp.int32), mode="drop")[:M]
+    )
+    slots = slot_of_rank[jnp.clip(rank, 0, M - 1)]
     ok = want & (slots < P)
     # Non-allocated candidates scatter out-of-bounds with drop semantics so
     # duplicate-index write ordering can never clobber a real allocation.
     slots_safe = jnp.where(ok, slots, P)
     points = state.points.at[slots_safe].set(new_xyz.astype(state.points.dtype), mode="drop")
     point_valid = state.point_valid.at[slots_safe].set(True, mode="drop")
-    n_new = jnp.sum(ok.astype(jnp.int32))
     state = state._replace(
         points=points,
         point_valid=point_valid,
-        n_points=jnp.minimum(state.n_points + n_new, P),
+        n_points=jnp.sum(point_valid.astype(jnp.int32)),
     )
     return state, jnp.where(ok, slots, -1)

@@ -53,7 +53,9 @@ class TestCulling:
         st = sess.state
         # Fabricate a weak point: valid but with no observations.
         P = st.points.shape[0]
-        weak_id = int(st.n_points)  # unused slot
+        # first FREE slot (n_points is the live count, not a cursor — slots
+        # are recycled, so free slots can sit anywhere)
+        weak_id = int(np.where(~np.asarray(st.point_valid))[0][0])
         st2 = st._replace(
             point_valid=st.point_valid.at[weak_id].set(True),
         )
