@@ -39,7 +39,7 @@ def main():
 
     from monocular_slam_tpu.datasets import synthetic
     from monocular_slam_tpu.ops import features as features_mod
-    from monocular_slam_tpu.slam import local_ba, mapping, state as state_mod, tracker
+    from monocular_slam_tpu.slam import local_ba, mapping, session as session_mod, state as state_mod, tracker
     from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig
 
     dev = jax.devices()[0]
@@ -102,6 +102,12 @@ def main():
             (st, 11),
         ),
         "overlap": (jax.jit(mapping.frame_overlap), (st, 11, 5)),
+        # the production per-frame program (track+BA+fuse+cull+keyframe)
+        "session_step": (
+            jax.jit(lambda s, i, lk, k: session_mod._session_step(
+                s, i, lk, k, cfg, True)),
+            (st, 11, jnp.asarray(5, jnp.int32), key),
+        ),
     }
 
     out = {"device": str(dev), "cache_dir": cache, "n_feat": args.n_feat,

@@ -61,6 +61,17 @@ def extract(
     for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
         sc = pyramid.level_scale(lvl)
         corners = detect_fn(im_l, budget, fast_threshold)
+        # ORB's edge threshold: corners whose orientation/BRIEF patch leaves
+        # the image get clipped samples (corrupted descriptors) — drop them
+        Hl, Wl = im_l.shape
+        eb = orb.PATCH_RADIUS
+        in_border = (
+            (corners.yx[:, 0] >= eb)
+            & (corners.yx[:, 0] < Hl - eb)
+            & (corners.yx[:, 1] >= eb)
+            & (corners.yx[:, 1] < Wl - eb)
+        )
+        corners = corners._replace(valid=corners.valid & in_border)
         blurred = pyramid.gaussian_blur(im_l, sigma=2.0, radius=3)
         ang = orb.orientations(im_l, corners.yx)
         desc = orb.descriptors(blurred, corners.yx, ang)

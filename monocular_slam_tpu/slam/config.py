@@ -86,6 +86,10 @@ class MappingConfig:
     # keyframe selection (Mapper.insertKeyFrame in ORBSLAM.png)
     keyframe_overlap: float = 0.7  # new KF when overlap with last KF drops below
     keyframe_max_gap: int = 15
+    # redundant-keyframe culling (LocalMapper::FrameCulling, LocalMapper.h:40)
+    kf_cull_redundancy: float = 0.9  # fraction of points covered elsewhere
+    kf_cull_min_other_obs: int = 3
+    kf_keep_recent: int = 2  # newest keyframes are never culled
 
 
 @dataclass(frozen=True)

@@ -69,19 +69,36 @@ def cull_frames(
     min_other_obs: int = 3,
 ) -> np.ndarray:
     """Mark redundant keyframes: >= `redundancy` of their observed points are
-    seen by at least `min_other_obs` other frames. Returns updated flags
-    (never culls the first keyframe)."""
-    counts = np.asarray(mapping.observation_counts(state))
+    seen by at least `min_other_obs` OTHER KEYFRAMES (ORB-SLAM's rule — the
+    count must be over keyframes, not all frames: with per-frame tracking
+    every point is seen by many ordinary frames, which would flag every
+    keyframe as redundant and empty the place-recognition database).
+    Returns updated flags (never culls the first keyframe). Sequential over
+    keyframes so a chain of mutually-redundant keyframes can't all vanish —
+    each cull updates the counts the next decision sees."""
     fp = np.asarray(state.feat_point)
     kv = np.asarray(state.kp_valid)
+    pv = np.asarray(state.point_valid)
+    P = pv.shape[0]
     flags = keyframes.copy()
     kf_ids = np.where(flags)[0]
+
+    def kf_counts():
+        c = np.zeros(P, np.int64)
+        for j in np.where(flags)[0]:
+            pids = fp[j][(fp[j] >= 0) & kv[j]]
+            np.add.at(c, pids, 1)
+        return c
+
+    counts = kf_counts()
     for i in kf_ids[1:]:
         pids = fp[i][(fp[i] >= 0) & kv[i]]
+        pids = pids[pv[pids]]
         if len(pids) == 0:
             flags[i] = False
             continue
         well_observed = counts[pids] >= (min_other_obs + 1)  # +1 = itself
         if well_observed.mean() >= redundancy:
             flags[i] = False
+            np.subtract.at(counts, pids, 1)
     return flags

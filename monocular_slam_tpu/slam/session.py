@@ -164,17 +164,24 @@ class SlamSession:
             )
         )
         self._bootstrap = jax.jit(
-            lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1)
+            lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1),
+            donate_argnums=(0,),
         )
         self._initialized = False
         self._init_ref = 0  # bootstrap reference frame (slides on failure)
+        # the state is donated through every per-frame program: the session
+        # never touches the previous state again, and donation lets XLA
+        # update the multi-MB feature/descriptor buffers in place instead of
+        # reallocating + copying them each frame
         self._step = jax.jit(
             lambda st, i, last_kf, key: _session_step(
                 st, i, last_kf, key, cfg, run_ba
-            )
+            ),
+            donate_argnums=(0,),
         )
-        self._add_feats = jax.jit(state_mod.add_frame_features)
+        self._add_feats = jax.jit(state_mod.add_frame_features, donate_argnums=(0,))
         self._last_kf = jnp.asarray(-1, jnp.int32)  # device keyframe anchor
+        self._kf_culled: set[int] = set()  # FrameCulling victims
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -253,6 +260,8 @@ class SlamSession:
             and i >= 2
             and bool(st.tracked)  # syncs — loop closure is host-driven anyway
         ):
+            if bool(st.is_keyframe):
+                self.cull_redundant_keyframes()
             self.state, closed = self.loop_closer.run(
                 self.state,
                 i,
@@ -269,11 +278,46 @@ class SlamSession:
         feats = self._extract(jnp.asarray(img, dtype=jnp.float32))
         return self.add_frame_features(feats, k, timestamp, dist=dist)
 
+    def cull_redundant_keyframes(self) -> list[int]:
+        """Unflag keyframes whose observed points are redundantly covered by
+        other frames — `LocalMapper::FrameCulling` (`src/LocalMapper.h:40`,
+        declared, never implemented; `Mapper.localKeyframeCulling` in
+        ORBSLAM.png). Culled keyframes leave the loop-closure candidate set
+        and the essential graph, bounding both by scene coverage rather than
+        trajectory length. Returns the newly culled ids."""
+        from monocular_slam_tpu.slam import keyframes as kf_mod
+
+        m = self.cfg.mapping
+        kfs = self.keyframes
+        if len(kfs) <= m.kf_keep_recent + 1:
+            return []
+        flags = np.zeros(self.cfg.max_frames, bool)
+        flags[kfs] = True
+        new_flags = kf_mod.cull_frames(
+            self.state, flags,
+            redundancy=m.kf_cull_redundancy,
+            min_other_obs=m.kf_cull_min_other_obs,
+        )
+        new_flags[kfs[-m.kf_keep_recent :]] = True  # still gathering obs
+        culled = [f for f in kfs if not new_flags[f]]
+        self._kf_culled.update(culled)
+        if self.loop_closer is not None:
+            self.loop_closer._inserted = [
+                f for f in self.loop_closer._inserted
+                if f not in self._kf_culled
+            ]
+        return culled
+
     # --- outputs -----------------------------------------------------------
     @property
     def keyframes(self) -> list[int]:
-        """Keyframe indices (syncs the per-frame flags on first read)."""
-        return [s.frame for s in self.stats if bool(s.is_keyframe)]
+        """Live keyframe indices (syncs the per-frame flags on first read;
+        excludes FrameCulling victims)."""
+        return [
+            s.frame
+            for s in self.stats
+            if bool(s.is_keyframe) and s.frame not in self._kf_culled
+        ]
 
     def trajectory(self):
         """(poses (F, 3, 4), valid (F,), timestamps (F,)) as numpy, trimmed
