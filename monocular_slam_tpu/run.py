@@ -34,6 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--loop-closure", action="store_true")
     p.add_argument("--vocab", default=None, help="path to a trained vocabulary npz")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--profile", default=None, metavar="LOGDIR",
+        help="capture a device trace of the main loop (TensorBoard format)",
+    )
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -138,24 +142,34 @@ def main(argv=None) -> int:
             sess.loop_closer = closer
             lc = closer
 
+    # compile the per-frame programs in parallel before frame 0 (wall time
+    # = max over programs, not sum — matters on remote-compile backends)
+    sess.prewarm(image=any(f[0] == "image" for f in frames))
+
     # --- main loop (the reference's per-frame stage loop, main.cpp:48-51) ---
+    import contextlib
+
+    from monocular_slam_tpu.utils.profiling import device_trace
+
+    trace_cm = device_trace(args.profile) if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    for idx, item in enumerate(frames):
-        kind = item[0]
-        if kind == "features":
-            _, f, k, ts = item
-            st = sess.add_frame_features(f, k, ts)
-        else:
-            _, i_img, k, ts = item
-            st = sess.add_frame(loader(i_img), k, ts, dist=dist)
-        timestamps.append(item[3])
-        if args.verbose:
-            print(
-                f"[{idx:4d}] tracked={st.tracked} inliers={st.n_inliers} "
-                f"new={st.n_new_points} map={sess.n_map_points}"
-            )
-        if args.loop_closure and isinstance(lc, tuple):
-            maybe_attach_loop_closer(idx)
+    with trace_cm:
+      for idx, item in enumerate(frames):
+          kind = item[0]
+          if kind == "features":
+              _, f, k, ts = item
+              st = sess.add_frame_features(f, k, ts)
+          else:
+              _, i_img, k, ts = item
+              st = sess.add_frame(loader(i_img), k, ts, dist=dist)
+          timestamps.append(item[3])
+          if args.verbose:
+              print(
+                  f"[{idx:4d}] tracked={st.tracked} inliers={st.n_inliers} "
+                  f"new={st.n_new_points} map={sess.n_map_points}"
+              )
+          if args.loop_closure and isinstance(lc, tuple):
+              maybe_attach_loop_closer(idx)
     wall = time.perf_counter() - t0
 
     # --- outputs ------------------------------------------------------------

@@ -164,28 +164,68 @@ class SlamSession:
             )
         )
         self._bootstrap = jax.jit(
-            lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1),
-            donate_argnums=(0,),
+            lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1)
         )
         self._initialized = False
         self._init_ref = 0  # bootstrap reference frame (slides on failure)
-        # the state is donated through every per-frame program: the session
-        # never touches the previous state again, and donation lets XLA
-        # update the multi-MB feature/descriptor buffers in place instead of
-        # reallocating + copying them each frame
+        # NOTE deliberately no donate_argnums here: donating the state
+        # pytree through these programs measured ZERO steady-state gain
+        # (27-28 ms step either way) but blew the bootstrap program's XLA
+        # compile up 20x (9.6 s -> 214 s on v5e — the donation aliasing
+        # analysis interacts pathologically with the big tree_map(where)
+        # failure-restore outputs), dominating cold-session warmup
         self._step = jax.jit(
             lambda st, i, last_kf, key: _session_step(
                 st, i, last_kf, key, cfg, run_ba
-            ),
-            donate_argnums=(0,),
+            )
         )
-        self._add_feats = jax.jit(state_mod.add_frame_features, donate_argnums=(0,))
+        self._add_feats = jax.jit(state_mod.add_frame_features)
         self._last_kf = jnp.asarray(-1, jnp.int32)  # device keyframe anchor
         self._kf_culled: set[int] = set()  # FrameCulling victims
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def prewarm(self, image: bool = False, n_threads: int = 4) -> float:
+        """Compile the session's per-frame programs ahead of the first frame,
+        in PARALLEL threads (XLA releases the GIL while the backend — here a
+        remote compile service — works, and the programs are independent, so
+        wall time is the max, not the sum). Results land in the persistent
+        compilation cache. Returns seconds spent."""
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        st = self.state
+        key = jax.random.PRNGKey(0)
+        N = cfg.frontend.n_features
+        dtype = st.kp_uv.dtype
+
+        def c_extract():
+            if image:
+                img = jnp.zeros((cfg.image_wh[1], cfg.image_wh[0]), jnp.float32)
+                self._extract.lower(img).compile()
+
+        def c_add():
+            self._add_feats.lower(
+                st, 0, jnp.zeros((N, 2), dtype), jnp.ones(N, dtype),
+                jnp.zeros(N, bool), jnp.zeros((N, 8), jnp.uint32),
+                jnp.zeros((N, 256), jnp.int8), jnp.zeros(4, dtype),
+            ).compile()
+
+        def c_boot():
+            self._bootstrap.lower(st, 0, 1, key).compile()
+
+        def c_step():
+            self._step.lower(st, 2, jnp.asarray(0, jnp.int32), key).compile()
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = [ex.submit(f) for f in (c_extract, c_add, c_boot, c_step)]
+            for f in futs:
+                f.result()
+        return time.perf_counter() - t0
 
     def add_frame_features(
         self, feats: orb.Features, k, timestamp: float, dist=None
