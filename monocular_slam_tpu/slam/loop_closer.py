@@ -287,7 +287,18 @@ class LoopCloser:
             valid=valid,
             fixed=fixed,
         )
-        res = ba_mod.bundle_adjust(prob, n_iters=self.lc.global_ba_iters)
+        F, P = state.poses.shape[0], state.points.shape[0]
+        if F * P > 4_000_000:
+            # the dense engine materializes the (F*6, P*3) Schur cross term —
+            # 19.7 GB at F=192, P=30k (measured HBM OOM on v5e). The
+            # matrix-free PCG engine never forms it.
+            from monocular_slam_tpu.optim import cg_ba
+
+            res = cg_ba.bundle_adjust_cg(
+                prob, n_iters=self.lc.global_ba_iters, max_cg_iters=50
+            )
+        else:
+            res = ba_mod.bundle_adjust(prob, n_iters=self.lc.global_ba_iters)
         return state._replace(poses=res.poses, points=res.points)
 
     # --- one-call driver ----------------------------------------------------
