@@ -65,6 +65,31 @@ def saturated(e2: jnp.ndarray, delta: float):
     return rho, w
 
 
+def dcs(e2: jnp.ndarray, delta: float):
+    """Dynamic Covariance Scaling (Agarwal et al., ICRA 2013).
+
+    delta plays the role of phi: s = min(1, 2*phi/(phi + e2)),
+    rho = s^2 * e2, w = s^2 — matches g2o's `RobustKernelDCS::robustify`
+    (`robust_kernel_impl.cpp:152-162`), whose rho[1] (the IRLS weight) is
+    scale^2."""
+    phi = delta
+    s = jnp.minimum(2.0 * phi / (phi + e2), 1.0)
+    return s * e2 * s, s * s
+
+
+def scale_delta(inner, e2: jnp.ndarray, delta: float, inner_delta: float = 1.0):
+    """Re-window an inner kernel to another delta: evaluate the inner kernel
+    at e2/d^2 and scale the cost back by d^2 — g2o's
+    `RobustKernelScaleDelta::robustify` (`robust_kernel_impl.cpp:50-63`).
+    The IRLS weight (g2o's rho[1]) passes through unscaled.
+
+    `inner` is one of the kernel functions above (operating at its own
+    `inner_delta` window)."""
+    d2 = delta * delta
+    rho_i, w_i = inner(e2 / d2, inner_delta)
+    return d2 * rho_i, w_i
+
+
 def none_(e2: jnp.ndarray, delta: float = 0.0):
     """No robustification (quadratic loss)."""
     return e2, jnp.ones_like(e2)
@@ -76,5 +101,6 @@ KERNELS = {
     "tukey": tukey,
     "pseudo_huber": pseudo_huber,
     "saturated": saturated,
+    "dcs": dcs,
     "none": none_,
 }

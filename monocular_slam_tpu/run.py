@@ -136,9 +136,14 @@ def main(argv=None) -> int:
             from monocular_slam_tpu.slam.loop_closer import LoopCloser
 
             closer = LoopCloser(voc=voc, cfg=cfg)
-            # replay BoW history for already-ingested frames
-            for j in range(i + 1):
-                closer.add_frame(sess.state, j)
+            # replay BoW history for already-ingested KEYFRAMES only — the
+            # database discipline the session maintains afterwards (inserting
+            # every frame would inflate the candidate set and the median
+            # similarity floor, and admit non-keyframe loop candidates the
+            # essential-graph correction doesn't expect)
+            for j in sess.keyframes:
+                if j <= i:
+                    closer.add_frame(sess.state, j)
             sess.loop_closer = closer
             lc = closer
 

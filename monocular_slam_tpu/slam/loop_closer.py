@@ -88,8 +88,15 @@ class LoopCloser:
         self.closures: list[tuple[int, int]] = []
 
     # --- detection ----------------------------------------------------------
-    def add_frame(self, state: SlamState, i: int) -> None:
-        q = self._bow(state.desc_pm1[i], state.kp_valid[i])
+    def add_frame(self, state: SlamState, i: int, q=None) -> None:
+        """Insert frame i's BoW vector into the database (idempotent — a
+        frame already inserted is skipped, so the session's explicit
+        init-keyframe insert and run()'s keyframe insert can't double-weight
+        a row in detect()'s similarity floor)."""
+        if i in self._inserted:
+            return
+        if q is None:
+            q = self._bow(state.desc_pm1[i], state.kp_valid[i])
         self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
         self._inserted.append(i)
 
@@ -191,6 +198,10 @@ class LoopCloser:
             kf = kf[np.asarray(valid)[kf]]
             kf_j = jnp.asarray(kf, jnp.int32)
             pos_of = {int(f): p for p, f in enumerate(kf)}
+            if i not in pos_of or j not in pos_of:
+                # i or j lost pose validity (e.g. a DB entry for a frame that
+                # later failed tracking) — no meaningful loop edge exists
+                return state
             g = pose_graph.sequential_graph(
                 verts[kf_j],
                 jnp.ones(len(kf), bool),
@@ -313,8 +324,7 @@ class LoopCloser:
         q = self._bow(state.desc_pm1[i], state.kp_valid[i])
         j = self.detect(i, q=q)
         if is_keyframe:
-            self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
-            self._inserted.append(i)
+            self.add_frame(state, i, q=q)
         if j is None:
             return state, False
         S, n_inl = self.compute_sim3(state, i, j, key)

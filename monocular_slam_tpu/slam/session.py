@@ -182,6 +182,8 @@ class SlamSession:
         self._add_feats = jax.jit(state_mod.add_frame_features)
         self._last_kf = jnp.asarray(-1, jnp.int32)  # device keyframe anchor
         self._kf_culled: set[int] = set()  # FrameCulling victims
+        self._keyframes: list[int] = []  # incrementally folded from stats
+        self._kf_scanned = 0  # stats entries already folded (each flag syncs once)
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -351,13 +353,17 @@ class SlamSession:
     # --- outputs -----------------------------------------------------------
     @property
     def keyframes(self) -> list[int]:
-        """Live keyframe indices (syncs the per-frame flags on first read;
-        excludes FrameCulling victims)."""
-        return [
-            s.frame
-            for s in self.stats
-            if bool(s.is_keyframe) and s.frame not in self._kf_culled
-        ]
+        """Live keyframe indices (excludes FrameCulling victims).
+
+        Folded incrementally: each frame's device flag is synced at most ONCE
+        over the session's lifetime (a full rescan per access was O(F^2)
+        host-device syncs once a loop closer reads this every frame)."""
+        while self._kf_scanned < len(self.stats):
+            s = self.stats[self._kf_scanned]
+            if bool(s.is_keyframe):
+                self._keyframes.append(s.frame)
+            self._kf_scanned += 1
+        return [f for f in self._keyframes if f not in self._kf_culled]
 
     def trajectory(self):
         """(poses (F, 3, 4), valid (F,), timestamps (F,)) as numpy, trimmed
