@@ -12,6 +12,7 @@ to one program per image resolution.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from monocular_slam_tpu.ops import fast, orb, pyramid
@@ -47,54 +48,58 @@ def extract(
         from monocular_slam_tpu.ops.backend import is_tpu
 
         use_pallas = is_tpu()
-    detect_fn = fast.detect
     if use_pallas:
         from monocular_slam_tpu.ops.pallas import fast_score
 
-        detect_fn = fast_score.detect
+        maps_fn = fast_score.corner_maps
+    else:
+        maps_fn = lambda im, thr: (  # noqa: E731
+            fast.nms3(fast.corner_score(im, thr)),
+            fast.corner_score_raw(im),
+        )
 
     img = img.astype(jnp.float32)
     levels = pyramid.build_pyramid(img, n_levels)
     budgets = _level_budgets(n_features, n_levels)
 
-    uvs, descs, angles, scores, scales, valids = [], [], [], [], [], []
+    uvs, descs, pm1s, angles, scores, scales, valids = [], [], [], [], [], [], []
     for lvl, (im_l, budget) in enumerate(zip(levels, budgets)):
         sc = pyramid.level_scale(lvl)
-        corners = detect_fn(im_l, budget, fast_threshold)
+        nms_map, raw_map = maps_fn(im_l, fast_threshold)
+        vals, idx = jax.lax.top_k(nms_map.reshape(-1), budget)
+        Hl, Wl = im_l.shape
+        yx = jnp.stack([idx // Wl, idx % Wl], axis=-1).astype(img.dtype)
         # ORB's edge threshold: corners whose orientation/BRIEF patch leaves
         # the image get clipped samples (corrupted descriptors) — drop them
-        Hl, Wl = im_l.shape
         eb = orb.PATCH_RADIUS
-        in_border = (
-            (corners.yx[:, 0] >= eb)
-            & (corners.yx[:, 0] < Hl - eb)
-            & (corners.yx[:, 1] >= eb)
-            & (corners.yx[:, 1] < Wl - eb)
+        valid = (
+            (vals > 0)
+            & (yx[:, 0] >= eb)
+            & (yx[:, 0] < Hl - eb)
+            & (yx[:, 1] >= eb)
+            & (yx[:, 1] < Wl - eb)
         )
-        corners = corners._replace(valid=corners.valid & in_border)
         blurred = pyramid.gaussian_blur(im_l, sigma=2.0, radius=3)
-        ang = orb.orientations(im_l, corners.yx)
-        desc = orb.descriptors(blurred, corners.yx, ang)
+        ang = orb.orientations(im_l, yx)
+        desc, pm1 = orb.descriptors_and_pm1(blurred, yx, ang)
         # sub-pixel corner localization (score-parabola) for the reported
         # positions; orientation/descriptor sampling stays on the integer
         # grid they were designed for
-        yx_ref = corners.yx + fast.subpixel_offsets(
-            im_l, corners.yx, fast_threshold
-        )
+        yx_ref = yx + fast.subpixel_from_raw(raw_map, yx, fast_threshold)
         # positions back to level-0 pixels, as (x, y) to match uv convention
         uv = jnp.stack([yx_ref[:, 1], yx_ref[:, 0]], axis=-1) * sc
         uvs.append(uv)
         descs.append(desc)
+        pm1s.append(pm1)
         angles.append(ang)
-        scores.append(corners.score)
+        scores.append(vals)
         scales.append(jnp.full(budget, sc, dtype=img.dtype))
-        valids.append(corners.valid)
+        valids.append(valid)
 
-    desc_packed = jnp.concatenate(descs)
     return orb.Features(
         uv=jnp.concatenate(uvs),
-        desc=desc_packed,
-        desc_pm1=orb.unpack_pm1(desc_packed),
+        desc=jnp.concatenate(descs),
+        desc_pm1=jnp.concatenate(pm1s),
         angle=jnp.concatenate(angles),
         score=jnp.concatenate(scores),
         scale=jnp.concatenate(scales),

@@ -47,7 +47,7 @@ def _roll2(x, dy: int, dx: int):
     return x
 
 
-def _kernel(h_ref, w_ref, img_hbm, out_ref, slab, sem, *, threshold: float, tile_h: int):
+def _kernel(h_ref, w_ref, img_hbm, out_ref, raw_ref, slab, sem, *, threshold: float, tile_h: int):
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(
         img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * HALO), :], slab, sem
@@ -74,8 +74,12 @@ def _kernel(h_ref, w_ref, img_hbm, out_ref, slab, sem, *, threshold: float, tile
 
     bright = circular_min9(diffs)
     dark = circular_min9([-d for d in diffs])
-    score = jnp.maximum(bright, dark)
-    score = jnp.where(score > threshold, score, 0.0)
+    raw = jnp.maximum(bright, dark)
+    # raw (pre-threshold, pre-NMS) map for the sub-pixel parabola
+    # (`fast.subpixel_from_raw`); only the interior matters — the outer
+    # BORDER ring differs from the XLA path (zero-pad vs wrap) and is gated
+    raw_ref[:] = raw[HALO : HALO + tile_h]
+    score = jnp.where(raw > threshold, raw, 0.0)
 
     # border mask in IMAGE coordinates: slab row r is image row
     # i*tile_h + r - HALO (the HBM copy is of the HALO-padded image)
@@ -98,14 +102,17 @@ def _kernel(h_ref, w_ref, img_hbm, out_ref, slab, sem, *, threshold: float, tile
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_h", "interpret"))
-def corner_score_nms(
+def corner_maps(
     img: jnp.ndarray,
     threshold: float = 20.0,
     tile_h: int = 64,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """NMS'd FAST-9 score map of a single (H, W) f32 image; equals
-    `fast.nms3(fast.corner_score(img, threshold))`."""
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(nms_score, raw_score) maps of a single (H, W) f32 image in one fused
+    pass. nms equals `fast.nms3(fast.corner_score(img, threshold))`; raw
+    equals `fast.corner_score_raw(img)` on the interior (outside the BORDER
+    ring, where wrap-vs-zero-pad semantics differ and detection is masked
+    anyway)."""
     H, W = img.shape
     W_pad = -(-W // 128) * 128
     # ~35 (slab_h, W_pad) f32 temporaries live at the peak; keep them inside
@@ -123,25 +130,44 @@ def corner_score_nms(
     )
     hw = (jnp.asarray([H], jnp.int32), jnp.asarray([W], jnp.int32))
 
-    out = pl.pallas_call(
+    out, raw = pl.pallas_call(
         functools.partial(_kernel, threshold=float(threshold), tile_h=tile_h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             # index_map receives (grid idx, *scalar-prefetch refs)
-            out_specs=pl.BlockSpec(
-                (tile_h, W_pad), lambda i, h, w: (i, 0), memory_space=pltpu.VMEM
+            out_specs=(
+                pl.BlockSpec(
+                    (tile_h, W_pad), lambda i, h, w: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tile_h, W_pad), lambda i, h, w: (i, 0), memory_space=pltpu.VMEM
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((tile_h + 2 * HALO, W_pad), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_h, W_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * tile_h, W_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile_h, W_pad), jnp.float32),
+        ),
         interpret=interpret,
     )(*hw, imgp)
-    return out[:H, :W].astype(img.dtype)
+    return out[:H, :W].astype(img.dtype), raw[:H, :W].astype(img.dtype)
+
+
+def corner_score_nms(
+    img: jnp.ndarray,
+    threshold: float = 20.0,
+    tile_h: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """NMS'd FAST-9 score map of a single (H, W) f32 image; equals
+    `fast.nms3(fast.corner_score(img, threshold))`."""
+    return corner_maps(img, threshold, tile_h, interpret)[0]
 
 
 def detect(img: jnp.ndarray, max_corners: int, threshold: float = 20.0,

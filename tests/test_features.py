@@ -169,3 +169,52 @@ def test_extract_jits_and_is_deterministic():
     f2 = jax.jit(lambda im: features.extract(im, n_features=100, n_levels=2))(img)
     np.testing.assert_array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
     assert f1.uv.shape == (100, 2)
+
+
+class TestSubpixelFromRaw:
+    def test_matches_per_keypoint_recompute(self):
+        """subpixel_from_raw == subpixel_offsets for interior keypoints (the
+        map path replaces 17 element-granular gathers; identical parabola)."""
+        img = textured_image(jax.random.PRNGKey(4))
+        c = fast.detect(img, 128, threshold=20.0)
+        raw = fast.corner_score_raw(img)
+        a = np.asarray(fast.subpixel_offsets(img, c.yx, 20.0))
+        b = np.asarray(fast.subpixel_from_raw(raw, c.yx, 20.0))
+        v = np.asarray(c.valid)
+        np.testing.assert_allclose(a[v], b[v], atol=1e-5)
+
+
+class TestBinnedDescriptors:
+    def test_pm1_matches_packed(self):
+        img = textured_image(jax.random.PRNGKey(5))
+        c = fast.detect(img, 64, threshold=20.0)
+        ang = orb.orientations(img, c.yx)
+        packed, pm1 = orb.descriptors_and_pm1(img, c.yx, ang)
+        np.testing.assert_array_equal(
+            np.asarray(orb.unpack_pm1(packed)), np.asarray(pm1)
+        )
+
+    def test_zero_angle_equals_unrotated_pattern(self):
+        """At bin 0 the LUT is the raw pattern (rounded, radius-clipped):
+        each bit is exactly img[p1] < img[p2]."""
+        img = textured_image(jax.random.PRNGKey(6))
+        c = fast.detect(img, 32, threshold=20.0)
+        K = int(c.yx.shape[0])
+        packed, _ = orb.descriptors_and_pm1(img, c.yx, jnp.zeros(K))
+        pat = np.asarray(orb.PATTERN, np.int32)
+        yx = np.asarray(c.yx).astype(int)
+        im = np.asarray(img)
+        H, W = im.shape
+        v = np.asarray(c.valid)
+        for k in range(K):
+            if not v[k]:
+                continue
+            for b in range(16):  # spot-check 16 bits per keypoint
+                y1, x1, y2, x2 = pat[b]
+                p1 = im[np.clip(yx[k, 0] + y1, 0, H - 1), np.clip(yx[k, 1] + x1, 0, W - 1)]
+                p2 = im[np.clip(yx[k, 0] + y2, 0, H - 1), np.clip(yx[k, 1] + x2, 0, W - 1)]
+                want = p1 < p2
+                got = bool((int(packed[k, b // 32]) >> (b % 32)) & 1)
+                # bf16 patch quantization can flip near-equal comparisons
+                if abs(float(p1) - float(p2)) > 2.0:
+                    assert got == bool(want), (k, b)
