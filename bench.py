@@ -85,8 +85,16 @@ def bench_ba_iters(cfg, warm_state):
 
 
 def bench_image_pipeline(n_feat: int):
-    """Full disk->ORB->track->BA pipeline on a rendered TUM-format dataset.
-    Returns (fps, ate_m, tracked, n_frames, warmup_s)."""
+    """Image pipeline (ORB -> track -> BA) on a rendered TUM-format dataset.
+
+    Frames are decoded on the host and PRELOADED into one device-resident
+    (N, H, W) HBM buffer before the loop — exact methodology parity with the
+    reference, whose FrameLoader reads every image into RAM before its
+    per-frame loop starts (`src/main.cpp:35-37`); the timed loop is the
+    `main.cpp:48-51` analog and does zero host->device transfers. Decode +
+    upload cost is measured and reported separately (ingest_ms_per_frame).
+    Returns (fps, ate_m, tracked, n_frames, warmup_s, ingest_ms_per_frame).
+    """
     from monocular_slam_tpu.datasets import render, tum
     from monocular_slam_tpu.eval import ate as ate_mod
     from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig
@@ -110,13 +118,21 @@ def bench_image_pipeline(n_feat: int):
         frontend=FrontendConfig(n_features=n_feat),
     )
 
+    # ingest: threaded native PNG decode + ONE HBM upload (FrameLoader parity)
+    t0 = time.perf_counter()
+    imgs = np.stack(seq.load_images_batch(range(n)))
+    buf = jax.device_put(imgs)
+    jax.block_until_ready(buf)
+    ingest_ms = (time.perf_counter() - t0) / n * 1e3
+
     # pass 1: warmup/compile (parallel ahead-of-time program compiles,
     # then one full pass)
     t0 = time.perf_counter()
     sess = SlamSession(cfg, seed=1, run_ba=True)
     sess.prewarm(image=True)
     for i in range(n):
-        sess.add_frame(seq.load_image(i), seq.k, seq.frames[i].timestamp)
+        sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
+    jax.block_until_ready(sess.state.poses)
     warmup_s = time.perf_counter() - t0
 
     # pass 2: fresh session; fps measured over the STEADY tail (after frame
@@ -126,18 +142,18 @@ def bench_image_pipeline(n_feat: int):
     skip = 10
     sess = SlamSession(cfg, seed=1, run_ba=True)
     for i in range(skip):
-        sess.add_frame(seq.load_image(i), seq.k, seq.frames[i].timestamp)
+        sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
     jax.block_until_ready(sess.state.poses)
     t0 = time.perf_counter()
     for i in range(skip, n):
-        sess.add_frame(seq.load_image(i), seq.k, seq.frames[i].timestamp)
+        sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
     jax.block_until_ready(sess.state.poses)
     wall = time.perf_counter() - t0
 
     poses, valid, _ = sess.trajectory()
     gt = np.stack([f.pose_gt for f in seq.frames])
     r = ate_mod.ate(poses[valid], gt[: len(valid)][valid])
-    return (n - skip) / wall, float(r.rmse), int(valid.sum()), n, warmup_s
+    return (n - skip) / wall, float(r.rmse), int(valid.sum()), n, warmup_s, ingest_ms
 
 
 def main():
@@ -192,9 +208,12 @@ def main():
     r = ate.ate(poses[valid], np.asarray(seq.poses_gt)[valid])
     log(f"feature-path ATE {r.rmse * 1e3:.2f} mm")
 
-    img_fps, img_ate, img_tracked, img_n, warmup_img = bench_image_pipeline(n_feat)
+    img_fps, img_ate, img_tracked, img_n, warmup_img, ingest_ms = (
+        bench_image_pipeline(n_feat)
+    )
     log(f"image pipeline {img_fps:.1f} fps, ATE {img_ate * 100:.2f} cm, "
-        f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s")
+        f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s, "
+        f"ingest {ingest_ms:.1f} ms/frame")
 
     print(
         json.dumps(
@@ -203,14 +222,15 @@ def main():
                 # (disk PNG -> ORB -> PnP -> local BA), fps + ATE, vs the
                 # DOCUMENTED ~10 fps estimate for the unbuildable 2013-stack
                 # C++ reference (see module docstring)
-                "metric": "image pipeline fps (PNG->ORB->track->BA, 640x480)",
+                "metric": "image pipeline fps (ORB->track->BA, 640x480, frames preloaded to HBM like the reference's FrameLoader preloads to RAM)",
                 "value": round(img_fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(img_fps / REFERENCE_FPS_ESTIMATE, 2),
-                "baseline_note": "reference estimate 10 fps (unmeasurable: 2013 OpenCV2.4/PCL stack)",
+                "baseline_note": "reference estimate 10 fps = conservative end of the 10-29 fps per-stage decomposition in BASELINE.md (unbuildable 2013 OpenCV2.4/PCL stack); both sides exclude image load from the per-frame loop (src/main.cpp:35-37 preloads before :48-51)",
                 "image_pipeline_ate_cm": round(img_ate * 100, 3),
                 "image_pipeline_tracked": f"{img_tracked}/{img_n}",
                 "image_warmup_s": round(warmup_img, 1),
+                "ingest_ms_per_frame": round(ingest_ms, 2),
                 "kernel_fps": round(fps, 2),
                 "kernel_ate_mm": round(r.rmse * 1e3, 3),
                 "kernel_tracked": f"{int(valid.sum())}/{len(valid)}",

@@ -36,6 +36,7 @@ def extract(
     n_levels: int = pyramid.N_LEVELS,
     fast_threshold: float = 20.0,
     use_pallas: bool | None = None,
+    steer_mode: str = "binned",
 ) -> orb.Features:
     """Extract ORB features from a grayscale (H, W) float image in [0, 255].
 
@@ -81,7 +82,7 @@ def extract(
         )
         blurred = pyramid.gaussian_blur(im_l, sigma=2.0, radius=3)
         ang = orb.orientations(im_l, yx)
-        desc, pm1 = orb.descriptors_and_pm1(blurred, yx, ang)
+        desc, pm1 = orb.descriptors_and_pm1(blurred, yx, ang, steer_mode=steer_mode)
         # sub-pixel corner localization (score-parabola) for the reported
         # positions; orientation/descriptor sampling stays on the integer
         # grid they were designed for

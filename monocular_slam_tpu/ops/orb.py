@@ -137,8 +137,39 @@ def _diff_matrix() -> jnp.ndarray:
     return jnp.asarray(_DIFF_MATRIX_NP)
 
 
-def descriptors_and_pm1(
+def _descriptors_continuous(
     img: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Continuous per-keypoint steering (OpenCV ORB's semantics): rotate the
+    pattern by each keypoint's exact angle, round to pixels, sample via two
+    (K, 256) whole-image gathers. ~5 ms at K=1000 on v5e (element-granular
+    gathers) — the robustness reference the binned path trades against."""
+    H, W = img.shape
+    flat = img.reshape(-1)
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    pat = PATTERN.astype(img.dtype)
+
+    def rot_gather(py, px):
+        # steering: (x', y') = (x cos - y sin, x sin + y cos)
+        ry = s[:, None] * px[None, :] + c[:, None] * py[None, :]
+        rx = c[:, None] * px[None, :] - s[:, None] * py[None, :]
+        yi = jnp.clip(jnp.round(yx[:, 0:1] + ry).astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(jnp.round(yx[:, 1:2] + rx).astype(jnp.int32), 0, W - 1)
+        return flat[yi * W + xi]
+
+    v1 = rot_gather(pat[:, 0], pat[:, 1])
+    v2 = rot_gather(pat[:, 2], pat[:, 3])
+    bits = v1 < v2
+    pm1 = (bits.astype(jnp.int8) << 1) - jnp.int8(1)
+    bu = bits.astype(jnp.uint32).reshape(-1, 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    packed = jnp.sum(bu << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return packed, pm1
+
+
+def descriptors_and_pm1(
+    img: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray,
+    steer_mode: str = "binned",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Steered-BRIEF descriptors. img should be pre-blurred (BRIEF noise
     sensitivity). Returns (packed (K, 8) uint32, pm1 (K, 256) int8 {-1,+1}).
@@ -157,7 +188,16 @@ def descriptors_and_pm1(
     inter-frame inlier Hamming distances (~31) — and halve the noise of the
     paper's own tables. The f32 HIGHEST matmul keeps each comparison exact
     (each output is one +1 and one -1 product; bf16 patches measured enough
-    near-tie bit flips to destabilize tracking on low-texture scenes)."""
+    near-tie bit flips to destabilize tracking on low-texture scenes).
+
+    steer_mode: "binned" (this path — flagship speed; descriptor bits flip
+    only when orientation crosses a 6-deg bin edge) or "continuous"
+    (`_descriptors_continuous` — exact per-keypoint steering, ~5 ms at
+    K=1000, measurably more robust under fast per-frame rotation where bin
+    crossings fire for many keypoints every frame: a 4 deg/frame orbit
+    tracked 27/100 binned vs 100/100 continuous)."""
+    if steer_mode == "continuous":
+        return _descriptors_continuous(img, yx, angles)
     H, W = img.shape
     D = STEER_PATCH
     R = STEER_RADIUS
@@ -174,6 +214,12 @@ def descriptors_and_pm1(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).reshape(-1, N_ANGLE_BINS, N_BITS)
+    # Hard nearest-bin select (the ORB paper's LUT semantics). An
+    # angle-interpolated two-bin blend was tried and reverted: adjacent bins
+    # disagree on ~19 of 256 bits, and blending makes exactly those bits
+    # sensitive to per-frame orientation jitter at EVERY angle (measured
+    # 0.25 cm -> 42 cm bench ATE); the hard select flips bits only when a
+    # keypoint's orientation crosses a 6-deg bin edge.
     bins = (
         jnp.round(angles * (N_ANGLE_BINS / (2.0 * np.pi))).astype(jnp.int32)
         % N_ANGLE_BINS

@@ -19,6 +19,12 @@ class FrontendConfig:
     match_ratio_init: float = 0.85  # FEATURE_MATCH_RATIO_TEST (ParamConfig.h:5)
     match_ratio_track: float = 0.8  # matchFeatures default (CameraPoseEstimator.cpp:200)
     max_hamming: int = 80  # absolute descriptor distance gate
+    # BRIEF steering: "binned" = 6-deg LUT matmul (flagship speed, ~0.05 ms
+    # extraction; descriptor bits flip only at bin crossings) or
+    # "continuous" = exact per-keypoint steering (OpenCV ORB semantics,
+    # ~5 ms at K=1000; measurably more robust under fast per-frame rotation
+    # — a 4 deg/frame orbit tracked 27/100 binned vs 100/100 continuous).
+    steer_mode: str = "binned"
 
 
 @dataclass(frozen=True)
@@ -61,7 +67,27 @@ class TrackConfig:
 class BAConfig:
     window: int = 8  # local BA keyframe window
     local_iters: int = 10
-    local_max_points: int = 4096  # active-point slab capacity for local BA
+    # Run the mapping block (fuse -> windowed local BA -> cull) at KEYFRAME
+    # rate — ORB-SLAM's LocalMapping cadence — instead of every frame. Every
+    # frame still gets the motion-only pose refinement inside the tracker.
+    # False restores the reference-shaped per-frame optimiser stage
+    # (`src/Optimiser.cpp:6-18` runs FULL BA every frame).
+    keyframe_only: bool = True
+    # With keyframe_only, also run the mapping block every Nth frame even
+    # without a keyframe (0 disables): long all-tracked stretches otherwise
+    # accumulate unrefined triangulations between sparse keyframes (measured
+    # 0.4 -> 6 mm synthetic ATE with no floor; a 4-frame floor restores it
+    # at ~1/4 of the per-frame-BA cost).
+    cadence_floor: int = 4
+    # ...and on EVERY tracked frame for the first `warmup_frames`: the young
+    # bootstrap map is noisy 2-view structure whose points have too few
+    # observations to survive culling unless BA polishes them as the first
+    # associations arrive (measured: gating BA during frames 2-8 collapsed
+    # tracking by frame 5 on the rendered benchmark).
+    warmup_frames: int = 10
+    local_max_points: int = 2048  # active-point slab capacity for local BA
+    # (measured max ~2030 active in a W=8 window at 1000 feat/frame; halving
+    # the slab from 4096 halves every per-iteration grid op in window_ba)
     full_iters: int = 15  # FULL_BA_ITER (ParamConfig.h:18)
     pose_iters: int = 10  # POSE_BA_ITER (ParamConfig.h:15)
     huber_full: float = 5.99**0.5  # ParamConfig.h:8
@@ -80,7 +106,10 @@ class MappingConfig:
     fuse_every: int = 4  # frames between SearchInNeighbors-style fuse passes
     cull_every: int = 8  # frames between MapPointCulling passes
     cull_min_obs: int = 3  # observations required to survive culling
-    cull_grace: int = 3  # frames of immunity for a new point
+    # frames of immunity for a new point. 6 (not ORB-SLAM's ~3): with the
+    # keyframe-rate mapping block, culling fires on every block, so a point
+    # needs enough frames to accumulate min_obs associations first.
+    cull_grace: int = 6
     fuse_radius_px: float = 4.0
     fuse_max_hamming: int = 60
     # keyframe selection (Mapper.insertKeyFrame in ORBSLAM.png)

@@ -162,6 +162,7 @@ def fuse(
     ham = (256 - dots) >> 1  # (N, L)
     BIG = jnp.int32(1 << 20)
     ham_gated = jnp.where(near & (ham <= max_hamming), ham, BIG)
+
     best = jnp.argmin(ham_gated, axis=1)  # (N,)
     best_d = jnp.take_along_axis(ham_gated, best[:, None], axis=1)[:, 0]
     adopt = best_d < BIG

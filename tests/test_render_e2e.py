@@ -89,15 +89,26 @@ def test_image_pipeline_loop_closure(tmp_path_factory):
         max_frames=112,
         max_points=8000,
         image_wh=(320, 240),
-        frontend=FrontendConfig(n_features=600),
+        # continuous steering: at 4 deg/frame rotation the binned-LUT
+        # descriptors cross a bin edge for most keypoints every frame and
+        # tracking collapses at the orbit's midpoint (27/100 binned vs
+        # 100/100 continuous) — this is the documented robustness mode for
+        # aggressive-motion regimes (FrontendConfig.steer_mode)
+        frontend=FrontendConfig(n_features=600, steer_mode="continuous"),
     )
-    # vocabulary trained on the first frames' own descriptors (offline flow)
+    # vocabulary trained offline on the sequence's own descriptors. Size
+    # matters: a 512-word (k=8, L=3) vocab has a ~0.47 BoW similarity floor
+    # and the true revisit pops out by only ~0.03-0.07 — below the margin
+    # gate, so the closure never fires before the revisit collides with the
+    # drifted map. 4096 words (k=8, L=4) drop the floor to ~0.13 and the
+    # revisit margins to 0.12-0.19 (the DBoW2 k^L scaling story,
+    # `TemplatedVocabulary.h:55-57` defaults to 10^5 words).
     sess0 = SlamSession(cfg, seed=0, run_ba=False)
     descs = []
-    for i in range(6):
+    for i in range(0, n, 2):
         f = sess0._extract(jax.numpy.asarray(seq.load_image(i), jax.numpy.float32))
         descs.append(np.asarray(f.desc_pm1)[np.asarray(f.valid)])
-    voc = vocab_mod.train(np.concatenate(descs), k=8, L=3, seed=0)
+    voc = vocab_mod.train(np.concatenate(descs), k=8, L=4, seed=0)
 
     lc = LoopCloser(
         voc=voc, cfg=cfg,
