@@ -84,6 +84,79 @@ def bench_ba_iters(cfg, warm_state):
     return cfg.ba.local_iters / dt, dt
 
 
+def bench_rooflines(cfg, warm_state, step_dt, ba_dt):
+    """Per-kernel roofline/MFU table (BASELINE.json "speed-of-light" clause):
+    XLA cost-model flops+bytes over measured wall time vs device peaks, for
+    the four hot programs — fused session step, Hamming matcher, FAST corner
+    maps, and the windowed local-BA solve."""
+    from functools import partial
+
+    from monocular_slam_tpu.ops import features as features_mod, matching
+    from monocular_slam_tpu.slam import local_ba, session as session_mod
+    from monocular_slam_tpu.utils import roofline
+
+    peaks = roofline.device_peaks()
+    key = jax.random.PRNGKey(7)
+    i = jnp.asarray(39, jnp.int32)
+    lkf = jnp.asarray(20, jnp.int32)
+    out = {}
+
+    def timed(fn, args, n=30):
+        c = jax.jit(fn).lower(*args).compile()
+        o = c(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(o)[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = c(*args)
+        jax.block_until_ready(jax.tree_util.tree_leaves(o)[0])
+        return c, (time.perf_counter() - t0) / n
+
+    # fused session step (keyframe path: the expensive variant), measured
+    # wall passed in from the chained benchmark
+    step_c = jax.jit(
+        lambda st: session_mod._session_step(st, i, lkf, key, cfg, True)[0]
+    ).lower(warm_state).compile()
+    out["session_step"] = roofline.analyze(step_c, step_dt, peaks).as_dict()
+
+    ba_c = jax.jit(
+        lambda st: local_ba.local_bundle_adjust(st, i, cfg).state
+    ).lower(warm_state).compile()
+    out["local_ba"] = roofline.analyze(ba_c, ba_dt, peaks).as_dict()
+
+    st = warm_state
+    m_c, m_dt = timed(
+        lambda a, b, va, vb: matching.match(a, b, va, vb, ratio=0.8, max_dist=80),
+        (st.desc_pm1[10], st.desc_pm1[11], st.kp_valid[10], st.kp_valid[11]),
+    )
+    out["matcher_1kx1k"] = roofline.analyze(m_c, m_dt, peaks).as_dict()
+
+    img = jax.random.uniform(jax.random.PRNGKey(3), (480, 640), jnp.float32) * 255.0
+    from monocular_slam_tpu.ops.backend import is_tpu
+    if is_tpu():
+        from monocular_slam_tpu.ops.pallas import fast_score
+        f_c, f_dt = timed(lambda im: fast_score.corner_maps(im, 20.0), (img,))
+    else:
+        from monocular_slam_tpu.ops import fast
+        f_c, f_dt = timed(
+            lambda im: (fast.nms3(fast.corner_score(im, 20.0)),
+                        fast.corner_score_raw(im)), (img,))
+    out["fast_640x480"] = roofline.analyze(f_c, f_dt, peaks).as_dict()
+
+    e_c, e_dt = timed(
+        partial(features_mod.extract, n_features=cfg.frontend.n_features), (img,)
+    )
+    out["extract_640x480"] = roofline.analyze(e_c, e_dt, peaks).as_dict()
+
+    log(f"-- roofline ({peaks.name}: {peaks.peak_flops/1e12:.0f} TF/s bf16, "
+        f"{peaks.peak_bw/1e9:.0f} GB/s) --")
+    for name, r in out.items():
+        log(f"  {name:16s} {r['wall_ms']:8.3f} ms  {r['flops']/1e9:8.2f} GF  "
+            f"AI {r['intensity_flop_per_byte']:7.1f}  mfu {r['mfu']*100:5.1f}%  "
+            f"hbm {r['hbm_frac']*100:5.1f}%  {r['bound']}-bound, "
+            f"{r['sol_frac']*100:5.1f}% of roof")
+    return out
+
+
 def bench_image_pipeline(n_feat: int):
     """Image pipeline (ORB -> track -> BA) on a rendered TUM-format dataset.
 
@@ -199,6 +272,8 @@ def main():
     log(f"fused step {dt * 1e3:.1f} ms -> {fps:.1f} fps; local BA {ba_dt * 1e3:.1f} ms "
         f"-> {ba_ips:.0f} LM iters/sec")
 
+    rooflines = bench_rooflines(cfg, sess.state, dt, ba_dt)
+
     # ATE sanity on the warmup run (synthetic feature path)
     import numpy as np
 
@@ -237,6 +312,12 @@ def main():
                 "ba_iters_per_sec": round(ba_ips, 1),
                 "warmup_s": round(warmup_feat, 1),
                 "device": str(dev),
+                # per-kernel roofline/MFU (BASELINE.json speed-of-light
+                # clause): XLA cost-model flops+bytes over measured wall vs
+                # device peaks; "bound" names the nearer wall, sol_frac the
+                # distance to it
+                "mfu": rooflines["session_step"]["mfu"],
+                "rooflines": rooflines,
             }
         )
     )
