@@ -56,7 +56,7 @@ def main():
     st = state_mod.empty_state(cfg)
     for i, f in enumerate(seq.frames):
         st = state_mod.add_frame_features(
-            st, i, f.uv, f.scale, f.valid, f.desc, f.desc_pm1, seq.k
+            st, i, i, f.uv, f.scale, f.valid, f.desc, f.desc_pm1, seq.k
         )
     st = st._replace(
         poses=st.poses.at[:12].set(seq.poses_gt.astype(st.poses.dtype)),

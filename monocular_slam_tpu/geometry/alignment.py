@@ -57,6 +57,122 @@ class Sim3RansacResult(NamedTuple):
     ok: jnp.ndarray
 
 
+def _dual_reproj_err(S, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y):
+    """Per-pair reprojection errors of a Sim3 hypothesis in BOTH frames.
+
+    S maps X-side world to Y-side world. Y-side check: project S(X) through
+    frame y's camera against the observed pixels uv_y; X-side check: project
+    S^{-1}(Y) through frame x's camera against uv_x. Returns
+    (err_x (..., N), err_y (..., N), pos_depth (..., N) bool)."""
+    from monocular_slam_tpu.geometry import camera as cam
+    from monocular_slam_tpu.geometry import se3
+
+    Y_pred = sim3_mod.apply(S, X)  # (..., N, 3) in Y-side world
+    X_pred = sim3_mod.apply(sim3_mod.inverse(S), Y)
+    Xc_y = se3.apply(T_y, Y_pred)
+    Xc_x = se3.apply(T_x, X_pred)
+    err_y = jnp.linalg.norm(cam.project(k_y, Xc_y) - uv_y, axis=-1)
+    err_x = jnp.linalg.norm(cam.project(k_x, Xc_x) - uv_x, axis=-1)
+    pos = (Xc_y[..., 2] > 1e-3) & (Xc_x[..., 2] > 1e-3)
+    return err_x, err_y, pos
+
+
+def ransac_sim3_reproj(
+    key: jax.Array,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    mask: jnp.ndarray,
+    uv_x: jnp.ndarray,
+    uv_y: jnp.ndarray,
+    k_x: jnp.ndarray,
+    k_y: jnp.ndarray,
+    T_x: jnp.ndarray,
+    T_y: jnp.ndarray,
+    n_iters: int = 256,
+    px_thresh: float = 10.0,
+    min_inliers: int = 12,
+    polish_iters: int = 4,
+) -> Sim3RansacResult:
+    """RANSAC Sim3 from matched 3D-3D pairs, gated by REPROJECTION error in
+    PIXELS in both frames — scale-free, unlike a metric 3D radius: a
+    monocular map's scale is arbitrary (bootstrap-normalization dependent),
+    so the same scene reconstructed at 2x map scale would silently halve a
+    metric gate's effective tightness. This is ORB-SLAM's Sim3 acceptance
+    criterion (its `ComputeSim3` checks chi2 of the dual reprojections; the
+    reference's own `LoopCloser::ComputeSim3` returns false,
+    `src/LoopCloser.cpp:147-150`).
+
+    X: (N, 3) X-side world points (matched to frame x's features at pixels
+    uv_x); Y/uv_y the Y-side counterparts; T_x/T_y (3, 4) world->camera.
+    After the RANSAC winner, a Gauss-Newton polish refines the Sim3 on the
+    inlier dual-reprojection residuals (7-dof tangent, `polish_iters`
+    steps)."""
+    from monocular_slam_tpu.geometry.epipolar import _sample_indices
+
+    idx = _sample_indices(key, n_iters, 3, mask)  # (K, 3)
+    S_h = horn_sim3(X[idx], Y[idx])  # (K, 3, 5)
+    err_x, err_y, pos = _dual_reproj_err(
+        S_h[:, None], X[None], Y[None], uv_x[None], uv_y[None],
+        k_x, k_y, T_x, T_y,
+    )
+    inl = (err_x < px_thresh) & (err_y < px_thresh) & pos & mask[None]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    S_best = S_h[best]
+    inliers = inl[best]
+
+    # Horn refit on the winner's inliers, re-gated by reprojection
+    w = inliers.astype(X.dtype)
+    S_fit = horn_sim3(X, Y, w)
+    ex, ey, pos1 = _dual_reproj_err(S_fit, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y)
+    inl_fit = (ex < px_thresh) & (ey < px_thresh) & pos1 & mask
+    use_fit = jnp.sum(inl_fit) >= scores[best]
+    S_best = jnp.where(use_fit, S_fit, S_best)
+    inliers = jnp.where(use_fit, inl_fit, inliers)
+
+    # Gauss-Newton polish on the inlier dual-reprojection residuals
+    def resid_flat(xi, S0, w):
+        S = sim3_mod.compose(sim3_mod.exp(xi), S0)
+        ex, ey, _ = _dual_reproj_err(S, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y)
+        return jnp.concatenate([ex * w, ey * w])
+
+    def gn_rounds(S_cur, w):
+        for _ in range(polish_iters):
+            J = jax.jacfwd(resid_flat)(jnp.zeros(7, X.dtype), S_cur, w)
+            r = resid_flat(jnp.zeros(7, X.dtype), S_cur, w)
+            H = _mm(J.T, J) + 1e-6 * jnp.eye(7, dtype=X.dtype)
+            dxi = jnp.linalg.solve(H, -_einsum("ni,n->i", J, r))
+            S_new = sim3_mod.compose(sim3_mod.exp(dxi), S_cur)
+            # accept only if the inlier cost drops (cheap trust region)
+            c_old = jnp.sum(r * r)
+            ex, ey, _ = _dual_reproj_err(
+                S_new, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y
+            )
+            c_new = jnp.sum((ex * w) ** 2 + (ey * w) ** 2)
+            S_cur = jnp.where(c_new < c_old, S_new, S_cur)
+        return S_cur
+
+    # Annealed polish: GN at the detection gate, then re-gate at HALF the
+    # threshold and re-polish on the tight core — the loose gate gives the
+    # detector recall, the tight core gives the loop edge precision (a
+    # 10 px-gated Horn fit applied as a correction measurably degraded
+    # near-drift-free trajectories).
+    S_cur = gn_rounds(S_best, inliers.astype(X.dtype))
+    ex, ey, pos2 = _dual_reproj_err(S_cur, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y)
+    tight = (ex < 0.5 * px_thresh) & (ey < 0.5 * px_thresh) & pos2 & mask
+    # fall back to the loose set if the tight core is too small to constrain
+    use_tight = jnp.sum(tight) >= jnp.minimum(min_inliers, jnp.sum(inliers))
+    w2 = jnp.where(use_tight, tight, (ex < px_thresh) & (ey < px_thresh) & pos2 & mask)
+    S_cur = gn_rounds(S_cur, w2.astype(X.dtype))
+    ex, ey, pos3 = _dual_reproj_err(S_cur, X, Y, uv_x, uv_y, k_x, k_y, T_x, T_y)
+    inl2 = (ex < px_thresh) & (ey < px_thresh) & pos3 & mask
+    better = jnp.sum(inl2) >= jnp.sum(inliers)
+    S_best = jnp.where(better, S_cur, S_best)
+    inliers = jnp.where(better, inl2, inliers)
+    n = jnp.sum(inliers)
+    return Sim3RansacResult(S_best, inliers, n, n >= min_inliers)
+
+
 def ransac_sim3(
     key: jax.Array,
     X: jnp.ndarray,

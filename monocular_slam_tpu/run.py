@@ -125,10 +125,12 @@ def main(argv=None) -> int:
             from monocular_slam_tpu.retrieval import vocabulary as vocab_mod
 
             st = sess.state
+            slots = [int(st.slot_of[j]) for j in range(min(10, i))]
             desc = np.concatenate(
                 [
-                    np.asarray(st.desc_pm1[j])[np.asarray(st.kp_valid[j])]
-                    for j in range(min(10, i))
+                    np.asarray(st.desc_pm1[s])[np.asarray(st.kp_valid[s])]
+                    for s in slots
+                    if s >= 0
                 ]
             )
             voc = vocab_mod.train(desc, k=8, L=3, seed=args.seed)

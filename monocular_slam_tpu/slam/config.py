@@ -47,7 +47,11 @@ class TrackConfig:
     back_traverse: int = 5  # numBackTraverse (`CameraPoseEstimator.cpp:390`)
     pnp_iters: int = 512
     pnp_px_thresh: float = 3.0
-    pnp_min_inliers: int = 10
+    # 15 (not 10): with relocalization as the safety net, a stricter gate
+    # is strictly better — a 10-inlier consensus can be a garbage pose
+    # (measured: one accepted 1 m-off frame on a fast-rotation orbit; at 15
+    # it is rejected, relocalization recovers, ATE 10.8 -> 2.5 cm)
+    pnp_min_inliers: int = 15
     triangulate_px_thresh: float = 2.0
     min_depth: float = 0.05
     max_depth: float = 100.0
@@ -61,6 +65,12 @@ class TrackConfig:
     predict_radius_px: float = 18.0  # search radius under the motion model
     local_max_hamming: int = 64
     triangulate_max_cos_parallax: float = 0.99985  # ~1 deg minimum parallax
+    # Relocalization (ORB-SLAM's Tracking::Relocalization; the reference has
+    # no recovery — a failed frame is skipped forever, `src/Pipeline.h:57-61`)
+    reloc_after: int = 3  # consecutive tracking failures before attempting
+    reloc_min_inliers: int = 25  # stricter than tracking: a wrong
+    # relocalization poisons the map, a missed one just waits a frame
+    reloc_candidates: int = 3  # BoW-ranked keyframes to try per attempt
 
 
 @dataclass(frozen=True)
@@ -123,7 +133,14 @@ class MappingConfig:
 
 @dataclass(frozen=True)
 class SlamConfig:
-    max_frames: int = 128
+    max_frames: int = 128  # pose-tier capacity (12 floats/frame — cheap)
+    # Feature-tier capacity: recycled SLOTS holding the big per-frame slabs
+    # (keypoints/descriptors/associations). None = max_frames (no eviction).
+    # Smaller than max_frames turns on keyframe-aware slot eviction so a
+    # long trajectory's descriptor memory scales with scene coverage, not
+    # length (SURVEY.md §5.7; the reference's DataManager grows unboundedly,
+    # `src/DataManager.h:25-35`).
+    max_slots: int | None = None
     max_points: int = 20000
     image_wh: tuple = (640, 480)
     frontend: FrontendConfig = field(default_factory=FrontendConfig)

@@ -79,6 +79,7 @@ def cull_frames(
     fp = np.asarray(state.feat_point)
     kv = np.asarray(state.kp_valid)
     pv = np.asarray(state.point_valid)
+    slot_of = np.asarray(state.slot_of)
     P = pv.shape[0]
     flags = keyframes.copy()
     kf_ids = np.where(flags)[0]
@@ -86,13 +87,21 @@ def cull_frames(
     def kf_counts():
         c = np.zeros(P, np.int64)
         for j in np.where(flags)[0]:
-            pids = fp[j][(fp[j] >= 0) & kv[j]]
+            sj = slot_of[j]
+            if sj < 0:  # features evicted: contributes no observations
+                continue
+            pids = fp[sj][(fp[sj] >= 0) & kv[sj]]
             np.add.at(c, pids, 1)
         return c
 
     counts = kf_counts()
     for i in kf_ids[1:]:
-        pids = fp[i][(fp[i] >= 0) & kv[i]]
+        si = slot_of[i]
+        if si < 0:
+            # evicted keyframe: its observations are gone, so redundancy
+            # can't be assessed — keep the flag (pose still anchors graphs)
+            continue
+        pids = fp[si][(fp[si] >= 0) & kv[si]]
         pids = pids[pv[pids]]
         if len(pids) == 0:
             flags[i] = False

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from monocular_slam_tpu.optim import window_ba
+from monocular_slam_tpu.slam import state as state_mod
 from monocular_slam_tpu.slam.config import SlamConfig
 from monocular_slam_tpu.slam.state import SlamState
 
@@ -50,12 +51,21 @@ def _covisibility_row(state: SlamState, i) -> jnp.ndarray:
     into a (P,) seen-mask + one (F, N) gather — no (F, P) incidence build.
     """
     P = state.points.shape[0]
-    fp_i = state.feat_point[i]
-    ok_i = (fp_i >= 0) & state.kp_valid[i]
+    F = state.poses.shape[0]
+    si = state_mod.slot_index(state, i)
+    fp_i = state.feat_point[si]
+    ok_i = (fp_i >= 0) & state.kp_valid[si]
     seen = jnp.zeros(P, bool).at[jnp.where(ok_i, fp_i, P)].set(True, mode="drop")
-    fp = state.feat_point  # (F, N)
-    hit = (fp >= 0) & state.kp_valid & seen[jnp.maximum(fp, 0)]
-    return jnp.sum(hit.astype(jnp.int32), axis=1)
+    fp = state.feat_point  # (S, N)
+    resident = state.frame_of >= 0
+    hit = (fp >= 0) & state.kp_valid & seen[jnp.maximum(fp, 0)] & resident[:, None]
+    per_slot = jnp.sum(hit.astype(jnp.int32), axis=1)  # (S,)
+    # scatter slot counts to their frames (evicted frames count 0)
+    return (
+        jnp.zeros(F + 1, jnp.int32)
+        .at[jnp.where(resident, state.frame_of, F)]
+        .add(per_slot.astype(jnp.int32), mode="drop")[:F]
+    )
 
 
 def _select_window(state: SlamState, i, cfg: SlamConfig):
@@ -77,7 +87,11 @@ def _select_window(state: SlamState, i, cfg: SlamConfig):
     if cfg.ba.use_covisibility:
         F = state.poses.shape[0]
         row = _covisibility_row(state, i)  # (F,)
-        past = (jnp.arange(F, dtype=jnp.int32) < i) & state.pose_valid
+        past = (
+            (jnp.arange(F, dtype=jnp.int32) < i)
+            & state.pose_valid
+            & (state.slot_of >= 0)
+        )
         # frame i leads; ties between equally-covisible frames break toward
         # recency so pure odometry degenerates to the sliding window.
         score = jnp.where(past, row.astype(jnp.float32), -1.0)
@@ -92,7 +106,7 @@ def _select_window(state: SlamState, i, cfg: SlamConfig):
         g_idx = base + slot  # oldest..newest
         g_ok = g_idx >= 0
         g_safe = jnp.maximum(g_idx, 0)
-        valid_frame = g_ok & state.pose_valid[g_safe]
+        valid_frame = g_ok & state.pose_valid[g_safe] & (state.slot_of[g_safe] >= 0)
         free = (slot >= W) & valid_frame
 
     # Frame 0 is the gauge anchor whenever it lands in the window — the
@@ -111,11 +125,12 @@ def local_bundle_adjust(
     F2 = 2 * cfg.ba.window
 
     g_safe, valid_frame, fixed = _select_window(state, i, cfg)
+    sg = state_mod.slot_index(state, g_safe)  # (2W,) window frames' slots
 
-    pt_slot = state.feat_point[g_safe]  # (2W, N), -1 for none
+    pt_slot = state.feat_point[sg]  # (2W, N), -1 for none
     valid = (
         (pt_slot >= 0)
-        & state.kp_valid[g_safe]
+        & state.kp_valid[sg]
         & valid_frame[:, None]
         & state.point_valid[jnp.maximum(pt_slot, 0)]
     )
@@ -150,8 +165,8 @@ def local_bundle_adjust(
         points=points_slab,
         k=state.k[g_safe],
         pt_slot=pt_local,
-        uv=state.kp_uv[g_safe],
-        info=(1.0 / state.kp_scale[g_safe]).astype(state.kp_uv.dtype),
+        uv=state.kp_uv[sg],
+        info=(1.0 / state.kp_scale[sg]).astype(state.kp_uv.dtype),
         valid=valid,
         fixed=fixed,
     )

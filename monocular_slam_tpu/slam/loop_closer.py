@@ -50,7 +50,10 @@ class LoopClosureConfig:
     consistency: int = 2  # consecutive frames agreeing on the same place
     neighborhood: int = 5  # candidate agreement radius (frames)
     sim3_iters: int = 256
-    sim3_thresh: float = 0.08  # 3D inlier radius (map units)
+    # Sim3 inlier gate: REPROJECTION error in pixels in both frames —
+    # scale-free (a monocular map's scale is arbitrary; the previous metric
+    # 3D radius silently tightened/loosened with bootstrap normalization).
+    sim3_px_thresh: float = 10.0
     sim3_min_inliers: int = 15
     run_global_ba: bool = True
     global_ba_iters: int = 10
@@ -86,6 +89,19 @@ class LoopCloser:
         self._inserted: list[int] = []  # DB rows actually populated
         self._cooldown_until = -1
         self.closures: list[tuple[int, int]] = []
+        # wall-clock per stage (the G2OBatchStatistics analog for closure)
+        self.timings: dict = {
+            "bow": 0.0, "detect": 0.0, "sim3": 0.0,
+            "pose_graph": 0.0, "global_ba": 0.0, "n_runs": 0,
+        }
+
+    @staticmethod
+    def _slot(state: SlamState, f: int) -> int | None:
+        """Host-side slot lookup; None when frame f's features were evicted
+        (slot recycling) — BoW queries then fall back to the cached DB row
+        and Sim3 computation is impossible for that candidate."""
+        sl = int(state.slot_of[f])
+        return sl if sl >= 0 else None
 
     # --- detection ----------------------------------------------------------
     def add_frame(self, state: SlamState, i: int, q=None) -> None:
@@ -96,7 +112,10 @@ class LoopCloser:
         if i in self._inserted:
             return
         if q is None:
-            q = self._bow(state.desc_pm1[i], state.kp_valid[i])
+            sl = self._slot(state, i)
+            if sl is None:
+                return
+            q = self._bow(state.desc_pm1[sl], state.kp_valid[sl])
         self._db = self._insert(self._db, jnp.asarray(i, jnp.int32), q)
         self._inserted.append(i)
 
@@ -146,23 +165,33 @@ class LoopCloser:
         """Align frame-i map geometry to frame-j map geometry via matched
         features that both carry map points. Returns (S (3,5), n_inliers) or
         (None, 0)."""
+        sl_i = self._slot(state, i)
+        sl_j = self._slot(state, j)
+        if sl_i is None or sl_j is None:
+            # candidate's features were evicted (slot recycling): no
+            # descriptor-level Sim3 is possible for this pair
+            return None, 0
         m = matching.match(
-            state.desc_pm1[i],
-            state.desc_pm1[j],
-            state.kp_valid[i],
-            state.kp_valid[j],
+            state.desc_pm1[sl_i],
+            state.desc_pm1[sl_j],
+            state.kp_valid[sl_i],
+            state.kp_valid[sl_j],
             ratio=0.9,
             max_dist=self.cfg.frontend.max_hamming,
         )
-        pid_i = state.feat_point[i]
-        pid_j = state.feat_point[j][m.idx]
+        pid_i = state.feat_point[sl_i]
+        pid_j = state.feat_point[sl_j][m.idx]
         ok = m.ok & (pid_i >= 0) & (pid_j >= 0)
         Xi = state.points[jnp.maximum(pid_i, 0)]
         Xj = state.points[jnp.maximum(pid_j, 0)]
-        res = alignment.ransac_sim3(
+        res = alignment.ransac_sim3_reproj(
             key, Xi, Xj, ok,
+            uv_x=state.kp_uv[sl_i],
+            uv_y=state.kp_uv[sl_j][m.idx],
+            k_x=state.k[i], k_y=state.k[j],
+            T_x=state.poses[i], T_y=state.poses[j],
             n_iters=self.lc.sim3_iters,
-            thresh=self.lc.sim3_thresh,
+            px_thresh=self.lc.sim3_px_thresh,
             min_inliers=self.lc.sim3_min_inliers,
         )
         if not bool(res.ok):
@@ -196,20 +225,29 @@ class LoopCloser:
         if keyframes is not None:
             kf = np.asarray(sorted(set(list(map(int, keyframes)) + [i, j])))
             kf = kf[np.asarray(valid)[kf]]
-            kf_j = jnp.asarray(kf, jnp.int32)
             pos_of = {int(f): p for p, f in enumerate(kf)}
             if i not in pos_of or j not in pos_of:
                 # i or j lost pose validity (e.g. a DB entry for a frame that
                 # later failed tracking) — no meaningful loop edge exists
                 return state
+            # Pad the graph to a 64-bucket so the pose-graph program compiles
+            # once per bucket instead of once per closure (every closure has
+            # a new keyframe count; recompiles dominated long-run wall time).
+            K = len(kf)
+            K_pad = max(64, -(-K // 64) * 64)
+            kf_pad = np.concatenate([kf, np.zeros(K_pad - K, np.int64)])
+            kf_j = jnp.asarray(kf[:K], jnp.int32)
+            vert_valid = jnp.arange(K_pad) < K
             g = pose_graph.sequential_graph(
-                verts[kf_j],
-                jnp.ones(len(kf), bool),
+                verts[jnp.asarray(kf_pad, jnp.int32)],
+                vert_valid,
                 extra_i=[pos_of[i]],
                 extra_j=[pos_of[j]],
                 extra_meas=meas_loop[None],
                 loop_weight=20.0,
             )
+            # padding vertices must not move (they alias frame 0)
+            g = g._replace(fixed=g.fixed | ~vert_valid)
             res = pose_graph.optimize(g, n_iters=20)
             # propagate each non-keyframe through its reference (most recent
             # preceding) keyframe: S_f' = (S_f o S_r^{-1}) o S_r'
@@ -270,7 +308,35 @@ class LoopCloser:
         self._hits.clear()
 
         if self.lc.run_global_ba:
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            poses_pre_ba = state.poses
             state = self._global_ba(state, keyframes=keyframes)
+            if keyframes is not None:
+                # Global BA moved only the KEYFRAMES (non-keyframes are
+                # marginalized out) — re-anchor every non-keyframe through
+                # its reference keyframe's BA'd pose, or the two pose
+                # families drift apart by exactly the BA adjustment
+                # (measured ~2 mm of avoidable ATE on a near-drift-free
+                # closure; the propagation after the pose graph alone is not
+                # enough once BA moves the anchors again).
+                T_ref_old = poses_pre_ba[kf_j][ref_pos]  # (Fc, 3, 4)
+                T_ref_new = state.poses[kf_j][ref_pos]
+                from monocular_slam_tpu.geometry import se3 as se3_mod
+
+                rel = se3_mod.compose(
+                    poses_pre_ba, se3_mod.inverse(T_ref_old)
+                )
+                prop = se3_mod.compose(rel, T_ref_new)
+                keep_ba = in_kf | ~valid
+                state = state._replace(
+                    poses=jnp.where(keep_ba[:, None, None], state.poses, prop)
+                )
+            import jax as _jax
+
+            _jax.block_until_ready(state.poses)
+            self.timings["global_ba"] += _time.perf_counter() - _t0
         return state
 
     def _global_ba(self, state: SlamState, keyframes=None) -> SlamState:
@@ -321,13 +387,33 @@ class LoopCloser:
         returning (possibly corrected state, closed?). When the session
         passes keyframe information, only keyframes enter the BoW database
         and the correction runs on the keyframe (essential) graph."""
-        q = self._bow(state.desc_pm1[i], state.kp_valid[i])
+        import time as _time
+
+        if not is_keyframe:
+            # Detection runs at KEYFRAME rate (ORB-SLAM's LoopClosing
+            # consumes inserted keyframes) — per-frame BoW queries cost a
+            # host-device round trip per frame for no recall gain once the
+            # consistency check counts consecutive keyframes.
+            return state, False
+        sl_i = self._slot(state, i)
+        if sl_i is None:
+            return state, False
+        self.timings["n_runs"] += 1
+        t0 = _time.perf_counter()
+        q = self._bow(state.desc_pm1[sl_i], state.kp_valid[sl_i])
+        self.timings["bow"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         j = self.detect(i, q=q)
-        if is_keyframe:
-            self.add_frame(state, i, q=q)
+        self.add_frame(state, i, q=q)
+        self.timings["detect"] += _time.perf_counter() - t0
         if j is None:
             return state, False
+        t0 = _time.perf_counter()
         S, n_inl = self.compute_sim3(state, i, j, key)
+        self.timings["sim3"] += _time.perf_counter() - t0
         if S is None:
             return state, False
-        return self.correct(state, i, j, S, keyframes=keyframes), True
+        t0 = _time.perf_counter()
+        state = self.correct(state, i, j, S, keyframes=keyframes)
+        self.timings["pose_graph"] += _time.perf_counter() - t0
+        return state, True

@@ -51,7 +51,10 @@ def point_anchors(state: SlamState) -> jnp.ndarray:
 
 def point_descriptors(state: SlamState) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Representative +-1 descriptor per point: the descriptor of its first
-    observation. Returns (desc_pm1 (P, 256) int8, has (P,) bool)."""
+    SLOT-RESIDENT observation. Returns (desc_pm1 (P, 256) int8, has (P,)
+    bool). Points whose observers were all evicted lose their descriptor
+    (has=False) and gracefully drop out of fuse/projection association —
+    their 3D positions persist."""
     F, N = state.feat_point.shape
     P = state.points.shape[0]
     cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
@@ -145,8 +148,9 @@ def fuse(
     uv_l = uv_proj[slab_pid]  # (L, 2)
     desc_l = pdesc[slab_pid]  # (L, 256)
 
-    feat_uv = state.kp_uv[i]  # (N, 2)
-    free = state.kp_valid[i] & (state.feat_point[i] < 0)
+    si = state_mod.slot_index(state, i)
+    feat_uv = state.kp_uv[si]  # (N, 2)
+    free = state.kp_valid[si] & (state.feat_point[si] < 0)
 
     # distance gates: pixel proximity AND descriptor distance
     d2 = jnp.sum(
@@ -155,7 +159,7 @@ def fuse(
     near = (d2 <= radius_px * radius_px) & slab_used[None, :] & free[:, None]
 
     dots = jnp.matmul(
-        state.desc_pm1[i].astype(jnp.int8),
+        state.desc_pm1[si].astype(jnp.int8),
         desc_l.T,
         preferred_element_type=jnp.int32,
     )
@@ -167,15 +171,16 @@ def fuse(
     best_d = jnp.take_along_axis(ham_gated, best[:, None], axis=1)[:, 0]
     adopt = best_d < BIG
 
-    fp_i = jnp.where(adopt, slab_pid[best], state.feat_point[i])
-    state = state._replace(feat_point=state.feat_point.at[i].set(fp_i))
+    fp_i = jnp.where(adopt, slab_pid[best], state.feat_point[si])
+    state = state._replace(feat_point=state.feat_point.at[si].set(fp_i))
     return FuseResult(state, jnp.sum(adopt.astype(jnp.int32)))
 
 
 def covisibility(state: SlamState) -> jnp.ndarray:
     """(F, F) matrix of shared-map-point counts between frames — the
-    covisibility graph as one MXU matmul over the frame-point incidence."""
-    F, N = state.feat_point.shape
+    covisibility graph as one MXU matmul over the frame-point incidence
+    (rows of evicted frames are zero)."""
+    F = state.poses.shape[0]
     P = state.points.shape[0]
     cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
     inc = jnp.zeros((F, P), jnp.float32)
@@ -184,16 +189,27 @@ def covisibility(state: SlamState) -> jnp.ndarray:
 
 
 def _incidence(state: SlamState) -> jnp.ndarray:
-    """(F, P) 0/1 frame-point observation incidence."""
-    F, N = state.feat_point.shape
+    """(F, P) 0/1 frame-point observation incidence (slot-resident
+    observations, scattered to their frame rows)."""
+    S, N = state.feat_point.shape
+    F = state.poses.shape[0]
     P = state.points.shape[0]
     fp = state.feat_point
-    valid = (fp >= 0) & state.kp_valid & state.point_valid[jnp.maximum(fp, 0)]
-    inc = jnp.zeros((F, P), jnp.float32)
+    resident = state.frame_of >= 0
+    valid = (
+        (fp >= 0)
+        & state.kp_valid
+        & resident[:, None]
+        & state.point_valid[jnp.maximum(fp, 0)]
+    )
+    rows = jnp.repeat(
+        jnp.where(resident, state.frame_of, jnp.int32(F)), N
+    )
+    inc = jnp.zeros((F + 1, P), jnp.float32)
     return inc.at[
-        jnp.repeat(jnp.arange(F, dtype=jnp.int32), N),
+        rows,
         jnp.maximum(fp.reshape(-1), 0),
-    ].max(valid.reshape(-1).astype(jnp.float32))
+    ].max(valid.reshape(-1).astype(jnp.float32))[:F]
 
 
 def covisibility_row(state: SlamState, i) -> jnp.ndarray:
@@ -209,10 +225,12 @@ def covisibility_row(state: SlamState, i) -> jnp.ndarray:
 def frame_overlap(state: SlamState, i, j) -> jnp.ndarray:
     """Fraction of frame i's associated points also observed by frame j —
     the keyframe-selection signal (scene change vs the last keyframe)."""
-    fp_i = state.feat_point[i]
-    ok_i = (fp_i >= 0) & state.kp_valid[i]
-    fp_j = state.feat_point[j]
-    ok_j = (fp_j >= 0) & state.kp_valid[j]
+    si = state_mod.slot_index(state, i)
+    sj = state_mod.slot_index(state, j)
+    fp_i = state.feat_point[si]
+    ok_i = (fp_i >= 0) & state.kp_valid[si]
+    fp_j = state.feat_point[sj]
+    ok_j = (fp_j >= 0) & state.kp_valid[sj]
     P = state.points.shape[0]
     seen_j = jnp.zeros(P, bool).at[jnp.where(ok_j, fp_j, P)].set(True, mode="drop")
     shared = jnp.sum((ok_i & seen_j[jnp.maximum(fp_i, 0)]).astype(jnp.int32))

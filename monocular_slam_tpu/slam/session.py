@@ -166,7 +166,7 @@ def _session_step(
 
 
 def _image_session_step(
-    state: SlamState, img, i, last_kf, key, k, dist, cfg: SlamConfig,
+    state: SlamState, img, i, slot, last_kf, key, k, dist, cfg: SlamConfig,
     run_ba: bool,
 ) -> tuple[SlamState, StepStats]:
     """ONE program for a tracked image frame: ORB extraction -> keypoint
@@ -187,7 +187,8 @@ def _image_session_step(
     # no-distortion datasets ride the same program
     uv = cam.undistort_pixels(k, dist, feats.uv)
     state = state_mod.add_frame_features(
-        state, i, uv, feats.scale, feats.valid, feats.desc, feats.desc_pm1, k
+        state, i, slot, uv, feats.scale, feats.valid, feats.desc,
+        feats.desc_pm1, k,
     )
     return _session_step(state, i, last_kf, key, cfg, run_ba)
 
@@ -245,21 +246,35 @@ class SlamSession:
             )
         )
         self._img_step = jax.jit(
-            lambda st, img, i, last_kf, key, k, dist: _image_session_step(
-                st, img, i, last_kf, key, k, dist, cfg, run_ba
+            lambda st, img, i, slot, last_kf, key, k, dist: _image_session_step(
+                st, img, i, slot, last_kf, key, k, dist, cfg, run_ba
             )
         )
         self._img_step_buf = jax.jit(
-            lambda st, buf, j, i, last_kf, key, k, dist: _image_session_step(
-                st, buf[j], i, last_kf, key, k, dist, cfg, run_ba
+            lambda st, buf, j, i, slot, last_kf, key, k, dist: _image_session_step(
+                st, buf[j], i, slot, last_kf, key, k, dist, cfg, run_ba
             )
         )
         self._add_feats = jax.jit(state_mod.add_frame_features)
+        self._reloc = jax.jit(
+            lambda st, i, cand, key: tracker.relocalize(st, i, cand, key, cfg)
+        )
+        self._fail_streak = 0
         self._dev_consts: dict = {}  # host bytes -> device array (k, dist)
         self._last_kf = jnp.asarray(-1, jnp.int32)  # device keyframe anchor
         self._kf_culled: set[int] = set()  # FrameCulling victims
         self._keyframes: list[int] = []  # incrementally folded from stats
         self._kf_scanned = 0  # stats entries already folded (each flag syncs once)
+        # feature-tier slot allocator (host mirror of state.frame_of):
+        # slots are handed out in order, then recycled keyframe-aware
+        S = state_mod.n_slots(cfg)
+        self._slot_frame: list[int] = [-1] * S  # slot -> frame id
+        self._free_slots: list[int] = list(range(S - 1, -1, -1))
+        # frames younger than this many steps are never evicted: the
+        # tracker's back-traverse match window must stay resident (the BA
+        # window needs no protection — its covisibility ranking already
+        # restricts itself to slot-resident frames)
+        self._protect_window = cfg.track.back_traverse + 2
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -290,13 +305,13 @@ class SlamSession:
             if image:
                 img = jnp.zeros((cfg.image_wh[1], cfg.image_wh[0]), jnp.float32)
                 self._img_step.lower(
-                    st, img, 2, jnp.asarray(0, jnp.int32), key,
+                    st, img, 2, 2, jnp.asarray(0, jnp.int32), key,
                     jnp.zeros(4, dtype), jnp.zeros(5, dtype),
                 ).compile()
 
         def c_add():
             self._add_feats.lower(
-                st, 0, jnp.zeros((N, 2), dtype), jnp.ones(N, dtype),
+                st, 0, 0, jnp.zeros((N, 2), dtype), jnp.ones(N, dtype),
                 jnp.zeros(N, bool), jnp.zeros((N, 8), jnp.uint32),
                 jnp.zeros((N, 256), jnp.int8), jnp.zeros(4, dtype),
             ).compile()
@@ -315,6 +330,46 @@ class SlamSession:
             for f in futs:
                 f.result()
         return time.perf_counter() - t0
+
+    def _acquire_slot(self, i: int) -> int:
+        """Free slot for frame i, evicting keyframe-aware when exhausted:
+        the oldest non-keyframe's features go first (they were only needed
+        for the tracker's recent-frame window), then the oldest keyframe
+        outside the protected window. Evicted frames keep their pose,
+        validity, and triangulated map points — only descriptors/keypoints
+        and their observation back-pointers are dropped, so feature memory
+        scales with scene coverage (keyframes surviving FrameCulling) rather
+        than trajectory length (SURVEY.md §5.7; the reference's DataManager
+        keeps everything forever, `src/DataManager.h:25-35`)."""
+        if self._free_slots:
+            slot = self._free_slots.pop()
+            self._slot_frame[slot] = i
+            return slot
+        protect_after = i - self._protect_window
+        kfs = set(self.keyframes)
+        resident = sorted(
+            (f, slo) for slo, f in enumerate(self._slot_frame) if f >= 0
+        )
+        victim = None
+        for f, slo in resident:
+            if f >= protect_after:
+                break
+            if f not in kfs:
+                victim = slo
+                break
+        if victim is None:
+            for f, slo in resident:
+                if f >= protect_after:
+                    break
+                victim = slo  # oldest keyframe — slots truly exhausted
+                break
+        if victim is None:
+            raise ValueError(
+                "all feature slots are held by the active window; raise "
+                "cfg.max_slots"
+            )
+        self._slot_frame[victim] = i
+        return victim
 
     def add_frame_features(
         self, feats: orb.Features, k, timestamp: float, dist=None
@@ -337,9 +392,11 @@ class SlamSession:
             raise ValueError(f"frame capacity {self.cfg.max_frames} exhausted")
         self._next += 1
         self.timestamps.append(float(timestamp))
+        slot = self._acquire_slot(i)
         self.state = self._add_feats(
             self.state,
             i,
+            slot,
             feats.uv,
             feats.scale,
             feats.valid,
@@ -391,12 +448,10 @@ class SlamSession:
         st.is_keyframe = s.is_keyframe
 
     def _run_loop_closer(self, st: FrameStats, i: int) -> None:
-        if (
-            self.loop_closer is not None
-            and self._initialized
-            and i >= 2
-            and bool(st.tracked)  # syncs — loop closure is host-driven anyway
-        ):
+        if self.loop_closer is None or not self._initialized or i < 2:
+            return
+        if bool(st.tracked):  # syncs — loop closure is host-driven anyway
+            self._fail_streak = 0
             if bool(st.is_keyframe):
                 self.cull_redundant_keyframes()
             self.state, closed = self.loop_closer.run(
@@ -407,6 +462,42 @@ class SlamSession:
                 keyframes=self.keyframes,
             )
             st.loop_closed = closed
+        else:
+            # Relocalization (ORB-SLAM Tracking::Relocalization): after a
+            # run of failures, PnP against the BoW-nearest keyframes. Only
+            # active with a loop closer attached — its database supplies the
+            # candidates, and this path already syncs per frame.
+            self._fail_streak += 1
+            if self._fail_streak >= self.cfg.track.reloc_after:
+                self._try_relocalize(st, i)
+
+    def _try_relocalize(self, st: FrameStats, i: int) -> None:
+        lc = self.loop_closer
+        sl = int(self.state.slot_of[i])
+        if sl < 0 or not lc._inserted:
+            return
+        q = lc._bow(self.state.desc_pm1[sl], self.state.kp_valid[sl])
+        n_valid = max(lc._inserted) + 1
+        scores = np.asarray(
+            lc._score(q, lc._db, jnp.asarray(n_valid, jnp.int32))
+        )
+        slot_of = np.asarray(self.state.slot_of)
+        pose_valid = np.asarray(self.state.pose_valid)
+        cands = [
+            f for f in sorted(
+                (f for f in lc._inserted if f < i),
+                key=lambda f: -scores[f],
+            )
+            if slot_of[f] >= 0 and pose_valid[f]
+        ][: self.cfg.track.reloc_candidates]
+        for cand in cands:
+            res = self._reloc(self.state, i, cand, self._split())
+            if bool(res.ok):
+                self.state = res.state
+                st.tracked = True
+                st.n_inliers = int(res.n_inliers)
+                self._fail_streak = 0
+                return
 
     def _dev_const(self, arr, dtype) -> jnp.ndarray:
         """Device copy of a small host constant (k, dist), cached by value —
@@ -451,10 +542,11 @@ class SlamSession:
             img_dev = (
                 img if isinstance(img, jnp.ndarray) else jax.device_put(img)
             )
+            slot = self._acquire_slot(i)
             return self._ingest_image_step(
                 lambda: self._img_step(
-                    self.state, img_dev, i, self._last_kf, self._split(),
-                    self._dev_const(k, dtype), dist_arr,
+                    self.state, img_dev, i, slot, self._last_kf,
+                    self._split(), self._dev_const(k, dtype), dist_arr,
                 ),
                 i, timestamp,
             )
@@ -482,10 +574,11 @@ class SlamSession:
             dist_arr = self._dev_const(
                 np.zeros(5) if dist is None else dist, dtype
             )
+            slot = self._acquire_slot(i)
             return self._ingest_image_step(
                 lambda: self._img_step_buf(
-                    self.state, buffer, idx, i, self._last_kf, self._split(),
-                    self._dev_const(k, dtype), dist_arr,
+                    self.state, buffer, idx, i, slot, self._last_kf,
+                    self._split(), self._dev_const(k, dtype), dist_arr,
                 ),
                 i, timestamp,
             )

@@ -5,6 +5,20 @@ pattern documented at `src/Frame.h:3-9`) with a single pytree of mask-padded
 arrays. Every pipeline stage is a pure function state' = f(state, ...), jitted
 once for the whole run.
 
+Two capacity tiers (the long-trajectory design the reference's unbounded
+vectors never had, SURVEY.md §5.7):
+
+  - POSE tier, capacity F = cfg.max_frames: poses/pose_valid/k, indexed by
+    the logical frame id. 12 floats per frame — thousands of frames cost
+    nothing, and the full trajectory survives to the end of the run.
+  - FEATURE tier, capacity S = cfg.max_slots: the big per-frame slabs
+    (keypoints, descriptors, feat_point back-pointers), indexed by SLOT.
+    `slot_of (F,)` maps frame -> slot (-1 once evicted); `frame_of (S,)`
+    maps slot -> occupying frame (-1 free). The session recycles slots
+    keyframe-aware (non-keyframes first), so descriptor memory scales with
+    scene coverage, not trajectory length. Map points persist independently
+    of slots — an evicted frame's pose and its triangulated points stay.
+
 Key representation choice: the reference keeps a per-map-point observation map
 `MapPoint::observerToIndex` (frameIdx -> featureIdx, `src/MapPoint.h:27`) AND
 a per-feature back-pointer `Features::mapPointsIndices` (`src/Frame.h:30`).
@@ -23,17 +37,19 @@ from monocular_slam_tpu.slam.config import SlamConfig
 
 
 class SlamState(NamedTuple):
-    # --- frames (capacity F) ---
+    # --- pose tier (capacity F = max_frames, indexed by frame id) ---
     poses: jnp.ndarray  # (F, 3, 4) world->camera Rt (`Frame::Rt`)
     pose_valid: jnp.ndarray  # (F,) bool — pose has been estimated
     k: jnp.ndarray  # (F, 4) per-frame intrinsics (`Frame::K`)
-    # --- features per frame (capacity F x N) ---
-    kp_uv: jnp.ndarray  # (F, N, 2) float32 — undistorted pixels
-    kp_scale: jnp.ndarray  # (F, N) pyramid scale (`Features::scales`)
-    kp_valid: jnp.ndarray  # (F, N) bool
-    desc: jnp.ndarray  # (F, N, 8) uint32 packed ORB
-    desc_pm1: jnp.ndarray  # (F, N, 256) int8 for MXU matching
-    feat_point: jnp.ndarray  # (F, N) int32 — map point id or -1
+    # --- feature tier (capacity S = max_slots, indexed by slot) ---
+    kp_uv: jnp.ndarray  # (S, N, 2) float32 — undistorted pixels
+    kp_scale: jnp.ndarray  # (S, N) pyramid scale (`Features::scales`)
+    kp_valid: jnp.ndarray  # (S, N) bool
+    desc: jnp.ndarray  # (S, N, 8) uint32 packed ORB
+    desc_pm1: jnp.ndarray  # (S, N, 256) int8 for MXU matching
+    feat_point: jnp.ndarray  # (S, N) int32 — map point id or -1
+    slot_of: jnp.ndarray  # (F,) int32 — frame's slot, -1 if evicted/none
+    frame_of: jnp.ndarray  # (S,) int32 — slot's frame, -1 if free
     # --- map points (capacity P) ---
     points: jnp.ndarray  # (P, 3) world positions
     point_valid: jnp.ndarray  # (P,) bool
@@ -41,8 +57,13 @@ class SlamState(NamedTuple):
     n_frames: jnp.ndarray  # scalar int32 — frames ingested so far
 
 
+def n_slots(cfg: SlamConfig) -> int:
+    return cfg.max_slots if cfg.max_slots else cfg.max_frames
+
+
 def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> SlamState:
     F, N, P = cfg.max_frames, cfg.frontend.n_features, cfg.max_points
+    S = n_slots(cfg)
     return SlamState(
         poses=jnp.tile(
             jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype)], axis=1),
@@ -50,12 +71,14 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> SlamState:
         ),
         pose_valid=jnp.zeros(F, bool),
         k=jnp.zeros((F, 4), dtype),
-        kp_uv=jnp.zeros((F, N, 2), dtype),
-        kp_scale=jnp.ones((F, N), dtype),
-        kp_valid=jnp.zeros((F, N), bool),
-        desc=jnp.zeros((F, N, 8), jnp.uint32),
-        desc_pm1=jnp.zeros((F, N, 256), jnp.int8),
-        feat_point=jnp.full((F, N), -1, jnp.int32),
+        kp_uv=jnp.zeros((S, N, 2), dtype),
+        kp_scale=jnp.ones((S, N), dtype),
+        kp_valid=jnp.zeros((S, N), bool),
+        desc=jnp.zeros((S, N, 8), jnp.uint32),
+        desc_pm1=jnp.zeros((S, N, 256), jnp.int8),
+        feat_point=jnp.full((S, N), -1, jnp.int32),
+        slot_of=jnp.full(F, -1, jnp.int32),
+        frame_of=jnp.full(S, -1, jnp.int32),
         points=jnp.zeros((P, 3), dtype),
         point_valid=jnp.zeros(P, bool),
         n_points=jnp.asarray(0, jnp.int32),
@@ -63,9 +86,16 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> SlamState:
     )
 
 
+def slot_index(state: SlamState, frame_idx) -> jnp.ndarray:
+    """Clamped slot of a frame (0 if evicted — callers must mask with
+    `slot_of[frame_idx] >= 0` when the frame may not be resident)."""
+    return jnp.maximum(state.slot_of[frame_idx], 0)
+
+
 def add_frame_features(
     state: SlamState,
     frame_idx,
+    slot_idx,
     uv,
     scale,
     valid,
@@ -73,19 +103,31 @@ def add_frame_features(
     desc_pm1,
     k,
 ) -> SlamState:
-    """Write one frame's extracted features into its slot (the
-    `FeatureExtractor::process` write, `src/FeatureExtractor.cpp:13-31`).
+    """Write one frame's extracted features into slot `slot_idx` (the
+    `FeatureExtractor::process` write, `src/FeatureExtractor.cpp:13-31`),
+    evicting the slot's previous occupant from the frame->slot map. The
+    evicted frame's pose, validity and triangulated points are untouched.
     Timestamps stay host-side in the session: device f32 cannot hold TUM
     epoch stamps (~1.3e9 s) to the 0.02 s association tolerance."""
     dtype = state.kp_uv.dtype
+    F = state.slot_of.shape[0]
+    old_frame = state.frame_of[slot_idx]
+    slot_of = state.slot_of.at[
+        jnp.where(old_frame >= 0, old_frame, jnp.int32(F))
+    ].set(-1, mode="drop")
+    slot_of = slot_of.at[frame_idx].set(jnp.asarray(slot_idx, jnp.int32))
     return state._replace(
-        kp_uv=state.kp_uv.at[frame_idx].set(uv.astype(dtype)),
-        kp_scale=state.kp_scale.at[frame_idx].set(scale.astype(dtype)),
-        kp_valid=state.kp_valid.at[frame_idx].set(valid),
-        desc=state.desc.at[frame_idx].set(desc),
-        desc_pm1=state.desc_pm1.at[frame_idx].set(desc_pm1),
-        feat_point=state.feat_point.at[frame_idx].set(
+        kp_uv=state.kp_uv.at[slot_idx].set(uv.astype(dtype)),
+        kp_scale=state.kp_scale.at[slot_idx].set(scale.astype(dtype)),
+        kp_valid=state.kp_valid.at[slot_idx].set(valid),
+        desc=state.desc.at[slot_idx].set(desc),
+        desc_pm1=state.desc_pm1.at[slot_idx].set(desc_pm1),
+        feat_point=state.feat_point.at[slot_idx].set(
             jnp.full(state.feat_point.shape[1], -1, jnp.int32)
+        ),
+        slot_of=slot_of,
+        frame_of=state.frame_of.at[slot_idx].set(
+            jnp.asarray(frame_idx, jnp.int32)
         ),
         k=state.k.at[frame_idx].set(jnp.asarray(k, dtype)),
         n_frames=jnp.maximum(state.n_frames, jnp.asarray(frame_idx + 1, jnp.int32)),
@@ -93,21 +135,25 @@ def add_frame_features(
 
 
 def observation_edges(state: SlamState):
-    """Flatten feat_point into BA edge arrays (fixed capacity F*N).
+    """Flatten feat_point into BA edge arrays (fixed capacity S*N).
 
     Returns (cam_idx (E,), pt_idx (E,), uv (E, 2), info (E,), valid (E,)).
-    This derives what the reference builds by iterating MapPoint observation
-    maps in `src/Util.cpp:87-169`.
+    cam_idx is the observing FRAME id (via frame_of); edges in free slots are
+    masked. This derives what the reference builds by iterating MapPoint
+    observation maps in `src/Util.cpp:87-169`.
     """
-    F, N = state.feat_point.shape
-    cam_idx = jnp.repeat(jnp.arange(F, dtype=jnp.int32), N)
+    S, N = state.feat_point.shape
+    F = state.poses.shape[0]
+    fr = state.frame_of  # (S,)
+    cam_idx = jnp.repeat(jnp.maximum(fr, 0), N)
     pt_idx = state.feat_point.reshape(-1)
-    uv = state.kp_uv.reshape(F * N, 2)
+    uv = state.kp_uv.reshape(S * N, 2)
     # information 1/scale — the reference's I_2/scale (`src/Util.cpp:141-153`)
     info = (1.0 / state.kp_scale.reshape(-1)).astype(state.kp_uv.dtype)
     valid = (
         (pt_idx >= 0)
         & state.kp_valid.reshape(-1)
+        & jnp.repeat(fr >= 0, N)
         & state.pose_valid[cam_idx]
     )
     return cam_idx, jnp.maximum(pt_idx, 0), uv, info, valid

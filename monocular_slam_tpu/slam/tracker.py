@@ -53,16 +53,18 @@ def bootstrap(
     into correlated landmark-depth errors that poison every later PnP
     (measured: bootstrap rot error 0.31 deg -> 0.1 deg with refinement).
     """
+    s0 = state_mod.slot_index(state, f0)
+    s1 = state_mod.slot_index(state, f1)
     m = matching.match(
-        state.desc_pm1[f0],
-        state.desc_pm1[f1],
-        state.kp_valid[f0],
-        state.kp_valid[f1],
+        state.desc_pm1[s0],
+        state.desc_pm1[s1],
+        state.kp_valid[s0],
+        state.kp_valid[s1],
         ratio=cfg.frontend.match_ratio_init,
         max_dist=cfg.frontend.max_hamming,
     )
-    uv0 = state.kp_uv[f0]
-    uv1 = state.kp_uv[f1][m.idx]  # matched positions in f1, aligned to f0 slots
+    uv0 = state.kp_uv[s0]
+    uv1 = state.kp_uv[s1][m.idx]  # matched positions in f1, aligned to f0 rows
 
     res = epipolar.ransac_fundamental(
         key, uv0, uv1, m.ok, n_iters=cfg.init.ransac_iters, thresh=cfg.init.sampson_px
@@ -91,12 +93,12 @@ def bootstrap(
         pt_slot=jnp.stack(
             [jnp.arange(N, dtype=jnp.int32), jnp.minimum(f1_slot, N - 1)]
         ),
-        uv=jnp.stack([uv0, state.kp_uv[f1]]),
+        uv=jnp.stack([uv0, state.kp_uv[s1]]),
         info=jnp.stack(
-            [1.0 / state.kp_scale[f0], 1.0 / state.kp_scale[f1]]
+            [1.0 / state.kp_scale[s0], 1.0 / state.kp_scale[s1]]
         ).astype(state.kp_uv.dtype),
         valid=jnp.stack(
-            [want & state.kp_valid[f0], (f1_slot < N) & state.kp_valid[f1]]
+            [want & state.kp_valid[s0], (f1_slot < N) & state.kp_valid[s1]]
         ),
         fixed=jnp.array([True, False]),
     )
@@ -128,15 +130,15 @@ def bootstrap(
     # Register observations in both frames (registerNewMapPoint adds the
     # point to both observers, `src/CameraPoseEstimator.cpp:367-373`).
     feat_point = new_state.feat_point
-    fp0 = jnp.where(slot_ids >= 0, slot_ids, feat_point[f0])
-    feat_point = feat_point.at[f0].set(fp0)
-    fp1 = feat_point[f1]
+    fp0 = jnp.where(slot_ids >= 0, slot_ids, feat_point[s0])
+    feat_point = feat_point.at[s0].set(fp0)
+    fp1 = feat_point[s1]
     # Route non-registered rows out of bounds: m.idx rows without a new point
     # are garbage indices and must not overwrite real registrations.
     N1 = fp1.shape[0]
     idx_write = jnp.where(slot_ids >= 0, m.idx, jnp.int32(N1))
     fp1 = fp1.at[idx_write].set(slot_ids, mode="drop")
-    feat_point = feat_point.at[f1].set(fp1)
+    feat_point = feat_point.at[s1].set(fp1)
 
     ok = (
         (res.num_inliers >= cfg.init.min_inliers)
@@ -163,6 +165,72 @@ class TrackResult(NamedTuple):
     n_new_points: jnp.ndarray
 
 
+class RelocResult(NamedTuple):
+    state: SlamState
+    ok: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+def relocalize(
+    state: SlamState, i, cand, key: jax.Array, cfg: SlamConfig
+) -> RelocResult:
+    """Re-acquire a lost frame i against a HOST-CHOSEN candidate keyframe
+    (BoW-selected): descriptor match -> the candidate's map associations ->
+    PnP RANSAC -> motion-only refine. ORB-SLAM's `Tracking::Relocalization`;
+    the reference has no recovery at all — a frame that fails its
+    validationCheck is simply skipped forever (`src/Pipeline.h:57-61`).
+
+    Only the pose is written (no triangulation — the next regular `track`
+    rebuilds associations from this anchor). `i`, `cand` are traced ints."""
+    si = state_mod.slot_index(state, i)
+    sc = state_mod.slot_index(state, cand)
+    cand_ok = (state.slot_of[cand] >= 0) & state.pose_valid[cand]
+    m = matching.match(
+        state.desc_pm1[si],
+        state.desc_pm1[sc],
+        state.kp_valid[si],
+        state.kp_valid[sc] & cand_ok,
+        ratio=cfg.frontend.match_ratio_init,
+        max_dist=cfg.frontend.max_hamming,
+    )
+    pid = state.feat_point[sc][m.idx]
+    has = m.ok & (pid >= 0) & state.point_valid[jnp.maximum(pid, 0)]
+    X = state.points[jnp.maximum(pid, 0)]
+    pres = pnp.solve_pnp_ransac(
+        key,
+        X,
+        state.kp_uv[si],
+        state.k[i],
+        has & state.kp_valid[si],
+        n_iters=cfg.track.pnp_iters,
+        px_thresh=cfg.track.pnp_px_thresh,
+        min_inliers=cfg.track.reloc_min_inliers,
+    )
+    rres = pose_ba.refine_pose(
+        pres.T, X, state.kp_uv[si], state.k[i],
+        (pres.inliers & has).astype(state.kp_uv.dtype), n_rounds=3,
+    )
+    n = jnp.maximum(pres.n_inliers, rres.n_inliers)
+    ok = (n >= cfg.track.reloc_min_inliers) & cand_ok
+    use_ref = rres.n_inliers >= pres.n_inliers
+    T = jnp.where(use_ref, rres.T, pres.T)
+    # Write the inlier ASSOCIATIONS too, not just the pose: the next frame's
+    # window matching finds the map THROUGH this frame's feat_point — a
+    # pose-only relocalization leaves the window starved and tracking fails
+    # again immediately (measured: recover/fail alternation every 3 frames).
+    inl = jnp.where(use_ref, rres.inliers, pres.inliers) & has
+    fp_i = jnp.where(inl, pid, state.feat_point[si])
+    new_state = state._replace(
+        poses=state.poses.at[i].set(T),
+        pose_valid=state.pose_valid.at[i].set(True),
+        feat_point=state.feat_point.at[si].set(fp_i),
+    )
+    final = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(ok, new, old), new_state, state
+    )
+    return RelocResult(final, ok, n)
+
+
 def _window_frames(state: SlamState, i, cfg: SlamConfig):
     """(B,) indices of the B most recent TRACKED frames before i (desc).
 
@@ -174,7 +242,9 @@ def _window_frames(state: SlamState, i, cfg: SlamConfig):
     B = cfg.track.back_traverse
     F = state.poses.shape[0]
     idx = jnp.arange(F, dtype=jnp.int32)
-    score = jnp.where(state.pose_valid & (idx < i), idx, -1)
+    score = jnp.where(
+        state.pose_valid & (state.slot_of >= 0) & (idx < i), idx, -1
+    )
     js, _ = jax.lax.top_k(score, B)  # most recent tracked first
     js = js.astype(jnp.int32)
     return jnp.maximum(js, 0), js >= 0
@@ -186,13 +256,15 @@ def _window_matches(state: SlamState, i, cfg: SlamConfig):
 
     Returns per-window-slot Matches stacked: idx (B, N), ok (B, N)."""
     js_safe, js_ok = _window_frames(state, i, cfg)
+    si = state_mod.slot_index(state, i)
 
     def match_one(j, j_ok):
+        sj = state_mod.slot_index(state, j)
         return matching.match(
-            state.desc_pm1[i],
-            state.desc_pm1[j],
-            state.kp_valid[i],
-            state.kp_valid[j] & j_ok & state.pose_valid[j],
+            state.desc_pm1[si],
+            state.desc_pm1[sj],
+            state.kp_valid[si],
+            state.kp_valid[sj] & j_ok & state.pose_valid[j],
             ratio=cfg.frontend.match_ratio_track,
             max_dist=cfg.frontend.max_hamming,
         )
@@ -214,11 +286,13 @@ def _local_map_slab(state: SlamState, i, cfg: SlamConfig):
     L = min(tcfg.local_map_cap, P)
 
     js_safe, js_ok = _window_frames(state, i, cfg)
+    sjs = state_mod.slot_index(state, js_safe)  # (B,) slots (resident by
+    # construction: _window_frames only picks slot-resident frames)
 
-    pid_win = state.feat_point[js_safe]  # (B, N)
+    pid_win = state.feat_point[sjs]  # (B, N)
     win_valid = (
         (pid_win >= 0)
-        & state.kp_valid[js_safe]
+        & state.kp_valid[sjs]
         & js_ok[:, None]
         & state.point_valid[jnp.maximum(pid_win, 0)]
     )
@@ -244,7 +318,7 @@ def _local_map_slab(state: SlamState, i, cfg: SlamConfig):
     slab_first = obs_first[slab_pid]  # (L,)
     has_desc = slab_first < BIG
     sf = jnp.minimum(slab_first, BIG - 1)
-    desc_l = state.desc_pm1[js_safe[sf // N], sf % N]  # (L, 256)
+    desc_l = state.desc_pm1[sjs[sf // N], sf % N]  # (L, 256)
     return slab_pid, slab_used & has_desc, desc_l
 
 
@@ -263,11 +337,12 @@ def _project_associate(
     uv_l = cam.project(state.k[i], Xc)
     W, H = cfg.image_wh
     vis = usable & (Xc[:, 2] > tcfg.min_depth) & cam.in_image(uv_l, W, H)
-    free = state.kp_valid[i] & (fp_i < 0)
-    d2 = jnp.sum((state.kp_uv[i][:, None, :] - uv_l[None, :, :]) ** 2, axis=-1)
+    si = state_mod.slot_index(state, i)
+    free = state.kp_valid[si] & (fp_i < 0)
+    d2 = jnp.sum((state.kp_uv[si][:, None, :] - uv_l[None, :, :]) ** 2, axis=-1)
     near = (d2 <= radius_px * radius_px) & vis[None, :] & free[:, None]  # (N, L)
     dots = jnp.matmul(
-        state.desc_pm1[i].astype(jnp.int8),
+        state.desc_pm1[si].astype(jnp.int8),
         desc_l.astype(jnp.int8).T,
         preferred_element_type=jnp.int32,
     )
@@ -314,11 +389,13 @@ def track(
     """
     N = state.feat_point.shape[1]
     dtype = state.kp_uv.dtype
+    si = state_mod.slot_index(state, i)
     js_safe, js_ok, m = _window_matches(state, i, cfg)  # (B,), (B, N)
+    sjs = state_mod.slot_index(state, js_safe)
 
     # --- 3D-2D association: nearest previous frame wins (w = 0 first) ---
     pid_w = jnp.take_along_axis(
-        state.feat_point[js_safe], m.idx, axis=1
+        state.feat_point[sjs], m.idx, axis=1
     )  # (B, N): map point of the matched prev feature
     cand = m.ok & (pid_w >= 0)  # (B, N)
     w_sel = jnp.argmax(cand, axis=0)  # first window slot with a candidate
@@ -342,9 +419,9 @@ def track(
     pres = pnp.solve_pnp_ransac(
         k_pnp,
         Xmap,
-        state.kp_uv[i],
+        state.kp_uv[si],
         state.k[i],
-        (pid >= 0) & state.kp_valid[i],
+        (pid >= 0) & state.kp_valid[si],
         n_iters=cfg.track.pnp_iters,
         px_thresh=cfg.track.pnp_px_thresh,
         min_inliers=cfg.track.pnp_min_inliers,
@@ -353,7 +430,7 @@ def track(
 
     # Associate inlier features with their map points
     # (`associateFeatureWithMapPoint`, `src/CameraPoseEstimator.cpp:218-233`).
-    fp_i = jnp.where(pres.inliers & (pid >= 0), pid, state.feat_point[i])
+    fp_i = jnp.where(pres.inliers & (pid >= 0), pid, state.feat_point[si])
     n_inliers = pres.n_inliers
 
     # --- track-local-map second pass: tighter radius on the PnP pose, then
@@ -363,10 +440,10 @@ def track(
             state, i, T_i, fp_i, slab_pid, usable, desc_l,
             cfg.track.local_radius_px, cfg,
         )
-        assoc = (fp_i >= 0) & state.kp_valid[i]
+        assoc = (fp_i >= 0) & state.kp_valid[si]
         Xa = state.points[jnp.maximum(fp_i, 0)]
         rres = pose_ba.refine_pose(
-            T_i, Xa, state.kp_uv[i], state.k[i], assoc.astype(dtype), n_rounds=3
+            T_i, Xa, state.kp_uv[si], state.k[i], assoc.astype(dtype), n_rounds=3
         )
         use = rres.n_inliers >= pres.n_inliers
         T_i = jnp.where(use, rres.T, T_i)
@@ -387,7 +464,7 @@ def track(
     has_new = jnp.any(fresh, axis=0)
     j_new = js_safe[w_new]  # (N,) partner frame
     prev_feat = jnp.take_along_axis(m.idx, w_new[None], axis=0)[0]  # (N,)
-    uv_prev = state.kp_uv[j_new, prev_feat]  # (N, 2)
+    uv_prev = state.kp_uv[sjs[w_new], prev_feat]  # (N, 2)
     T_prev = state.poses[j_new]  # (N, 3, 4)
     k_prev = state.k[j_new]
 
@@ -395,14 +472,14 @@ def track(
         triangulate.projection_matrix(k_prev, T_prev),
         triangulate.projection_matrix(state.k[i], T_i),
         uv_prev[:, None],
-        state.kp_uv[i][:, None],
+        state.kp_uv[si][:, None],
     )[:, 0]
 
     Xc_prev = se3.apply(T_prev, X_new)  # (N, 3) in each partner camera
     Xc_cur = se3.apply(T_i, X_new)
     z_prev, z_cur = Xc_prev[:, 2], Xc_cur[:, 2]
     e_prev = jnp.linalg.norm(cam.project(k_prev, Xc_prev) - uv_prev, axis=-1)
-    e_cur = jnp.linalg.norm(cam.project(state.k[i], Xc_cur) - state.kp_uv[i], axis=-1)
+    e_cur = jnp.linalg.norm(cam.project(state.k[i], Xc_cur) - state.kp_uv[si], axis=-1)
     # parallax gate: depth is unobservable below ~1 deg of ray separation and
     # such points poison later PnP with correlated depth error
     c_prev = se3.camera_center(T_prev)  # (N, 3)
@@ -415,7 +492,7 @@ def track(
     want = (
         has_new
         & ok
-        & state.kp_valid[i]
+        & state.kp_valid[si]
         & (z_prev > cfg.track.min_depth)
         & (z_cur > cfg.track.min_depth)
         & (z_prev < cfg.track.max_depth)
@@ -431,10 +508,11 @@ def track(
     # a real registration.
     fp_i = jnp.where(slot_ids >= 0, slot_ids, fp_i)
     feat_point = new_state.feat_point
-    Fcap = feat_point.shape[0]
-    j_write = jnp.where(slot_ids >= 0, j_new, jnp.int32(Fcap))
+    Scap = feat_point.shape[0]
+    s_new = sjs[w_new]  # partner frames' slots (resident by construction)
+    j_write = jnp.where(slot_ids >= 0, s_new, jnp.int32(Scap))
     feat_point = feat_point.at[j_write, prev_feat].set(slot_ids, mode="drop")
-    feat_point = feat_point.at[i].set(fp_i)
+    feat_point = feat_point.at[si].set(fp_i)
 
     new_state = new_state._replace(
         poses=new_state.poses.at[i].set(T_i),

@@ -112,3 +112,85 @@ class TestLoopClosure:
             )
             lc.add_frame(st, i)
             assert lc.detect(i) is None, f"false positive at frame {i}"
+
+
+class TestScaleFreeSim3:
+    def test_reprojection_gate_is_scale_invariant(self):
+        """Rescaling the whole reconstruction (points AND translations) by 5x
+        must not change the Sim3 inlier decision — the gate is reprojection
+        error in pixels, not a metric 3D radius (a monocular map's scale is
+        arbitrary; ORB-SLAM's criterion)."""
+        from monocular_slam_tpu.geometry import alignment, se3, so3, camera
+
+        key = jax.random.PRNGKey(5)
+        N = 120
+        k_cam = jnp.array([300.0, 300.0, 160.0, 120.0])
+        X = jax.random.uniform(key, (N, 3), minval=-1, maxval=1) + jnp.array(
+            [0.0, 0.0, 4.0]
+        )
+        # ground-truth drift transform: rotation + translation + scale 1.1
+        S_true = jnp.concatenate(
+            [so3.exp(jnp.array([0.02, -0.05, 0.01])),
+             jnp.array([[0.3], [-0.1], [0.2]]),
+             jnp.full((3, 1), 1.1)], axis=1,
+        )
+        from monocular_slam_tpu.geometry import sim3 as sim3_mod
+
+        Y = sim3_mod.apply(S_true, X)
+        # 25% outliers
+        out_mask = jax.random.uniform(jax.random.PRNGKey(6), (N,)) < 0.25
+        Y = jnp.where(out_mask[:, None], Y + 2.0, Y)
+        T_x = se3.from_Rt(jnp.eye(3), jnp.array([0.0, 0.0, 0.0]))
+        T_y = T_x
+        uv_x = camera.project(k_cam, se3.apply(T_x, X))
+        uv_y = camera.project(k_cam, se3.apply(T_y, Y))
+        mask = jnp.ones(N, bool)
+
+        def solve(scale):
+            # rescale the whole reconstruction: points and camera baselines
+            Xs, Ys = X * scale, Y * scale
+            T_xs = se3.from_Rt(T_x[:, :3], T_x[:, 3] * scale)
+            T_ys = T_xs
+            uvx = camera.project(k_cam, se3.apply(T_xs, Xs))
+            uvy = camera.project(k_cam, se3.apply(T_ys, Ys))
+            return alignment.ransac_sim3_reproj(
+                jax.random.PRNGKey(7), Xs, Ys, mask, uvx, uvy,
+                k_cam, k_cam, T_xs, T_ys,
+                n_iters=128, px_thresh=4.0, min_inliers=20,
+            )
+
+        r1 = solve(1.0)
+        r5 = solve(5.0)
+        assert bool(r1.ok) and bool(r5.ok)
+        # same inlier set at both map scales (the scale-free property the
+        # old 0.08-map-unit gate lacked)
+        np.testing.assert_array_equal(np.asarray(r1.inliers), np.asarray(r5.inliers))
+        # recovered scale tracks the ground truth at both map scales
+        for r in (r1, r5):
+            s_rec = float(r.S[0, 4])
+            assert abs(s_rec - 1.1) < 0.02, s_rec
+
+    def test_polish_tightens_fit(self):
+        """The GN polish must not lose inliers vs the raw RANSAC winner."""
+        from monocular_slam_tpu.geometry import alignment, se3, camera
+        from monocular_slam_tpu.geometry import sim3 as sim3_mod
+
+        key = jax.random.PRNGKey(8)
+        N = 80
+        k_cam = jnp.array([300.0, 300.0, 160.0, 120.0])
+        X = jax.random.uniform(key, (N, 3), minval=-1, maxval=1) + jnp.array(
+            [0.0, 0.0, 5.0]
+        )
+        S_true = sim3_mod.exp(jnp.array([0.05, 0.1, -0.03, 0.01, 0.04, -0.02, 0.08]))
+        Y = sim3_mod.apply(S_true, X) + 0.002 * jax.random.normal(
+            jax.random.PRNGKey(9), (N, 3)
+        )
+        T = se3.from_Rt(jnp.eye(3), jnp.zeros(3))
+        uv_x = camera.project(k_cam, se3.apply(T, X))
+        uv_y = camera.project(k_cam, se3.apply(T, Y))
+        res = alignment.ransac_sim3_reproj(
+            jax.random.PRNGKey(10), X, Y, jnp.ones(N, bool), uv_x, uv_y,
+            k_cam, k_cam, T, T, n_iters=64, px_thresh=3.0, min_inliers=30,
+        )
+        assert bool(res.ok)
+        assert int(res.n_inliers) >= 70
