@@ -61,3 +61,26 @@ def read_ply_points(path: str) -> np.ndarray:
             vals = f.readline().split()
             pts.append([float(v) for v in vals[:3]])
     return np.asarray(pts)
+
+
+def read_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read an ASCII PLY mesh back as (verts (N, 3), faces (M, 3) int)."""
+    with open(path) as f:
+        assert f.readline().strip() == "ply"
+        n_v = n_f = 0
+        while True:
+            line = f.readline().strip()
+            if line.startswith("element vertex"):
+                n_v = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_f = int(line.split()[-1])
+            elif line == "end_header":
+                break
+        verts = np.array(
+            [[float(x) for x in f.readline().split()[:3]] for _ in range(n_v)]
+        )
+        faces = np.array(
+            [[int(x) for x in f.readline().split()[1:4]] for _ in range(n_f)],
+            dtype=np.int64,
+        )
+    return verts, faces

@@ -118,3 +118,51 @@ class TestCompare:
         traj_io.write_tum(b, poses, np.arange(20) * 0.1 + 0.005)  # 5 ms offset
         r = compare.compare(a, b)
         assert r["n_associated"] == 20
+
+
+class TestPoisson:
+    """Poisson surface reconstruction — the watertight-mesh capability of
+    `pcl::Poisson` in the reference (`src/PointCloudVisualizer.cpp:533-605`),
+    as a grid Poisson solve + marching tetrahedra."""
+
+    def test_sphere_watertight(self):
+        rng = np.random.RandomState(0)
+        d = rng.normal(size=(4000, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        v, t = mesh_mod.poisson_mesh(d, normals=d, depth=5)
+        assert len(t) > 1000
+        # watertight: every edge shared by an even number of triangles
+        assert mesh_mod.mesh_boundary_edges(t) == 0
+        r = np.linalg.norm(v - d.mean(0), axis=1)
+        assert abs(r.mean() - 1.0) < 0.05
+        assert r.std() < 0.05
+
+    def test_estimated_normals_box(self, tmp_path):
+        """Reconstruct a box from positions only (normals estimated), then
+        round-trip the mesh through PLY (the reference's export path)."""
+        rng = np.random.RandomState(1)
+        n = 1500
+        # points on the surface of a unit box
+        face = rng.randint(0, 6, n)
+        uv = rng.uniform(-1, 1, (n, 2))
+        pts = np.zeros((n, 3))
+        ax = face % 3
+        sign = np.where(face < 3, 1.0, -1.0)
+        for i in range(n):
+            others = [a for a in range(3) if a != ax[i]]
+            pts[i, ax[i]] = sign[i]
+            pts[i, others[0]] = uv[i, 0]
+            pts[i, others[1]] = uv[i, 1]
+        v, t = mesh_mod.poisson_mesh(pts, depth=5)
+        assert len(t) > 500
+        assert mesh_mod.mesh_boundary_edges(t) == 0
+        # verts lie near the box surface (sup-norm ~1)
+        sup = np.abs(v).max(axis=1)
+        assert np.median(np.abs(sup - 1.0)) < 0.15
+        from monocular_slam_tpu.io import ply
+
+        path = str(tmp_path / "box.ply")
+        ply.write_ply_mesh(path, v, t)
+        v2, t2 = ply.read_ply_mesh(path)
+        np.testing.assert_allclose(v2, v, atol=1e-4)
+        np.testing.assert_array_equal(t2, t)
