@@ -212,21 +212,34 @@ def bench_image_pipeline(n_feat: int):
     # `skip`) so one-time costs — re-tracing the new session's jit closures
     # and loading the persistent compile cache — land in warmup where they
     # belong, not amortized into the throughput number
-    skip = 10
-    sess = SlamSession(cfg, seed=1, run_ba=True)
-    for i in range(skip):
-        sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
-    jax.block_until_ready(sess.state.poses)
-    t0 = time.perf_counter()
-    for i in range(skip, n):
-        sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
-    jax.block_until_ready(sess.state.poses)
-    wall = time.perf_counter() - t0
+    def timed_pass(loop_closer=None):
+        skip = 10
+        sess = SlamSession(cfg, seed=1, run_ba=True, loop_closer=loop_closer)
+        for i in range(skip):
+            sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
+        jax.block_until_ready(sess.state.poses)
+        t0 = time.perf_counter()
+        for i in range(skip, n):
+            sess.add_frame_from_buffer(buf, i, seq.k, seq.frames[i].timestamp)
+        jax.block_until_ready(sess.state.poses)
+        wall = time.perf_counter() - t0
+        return sess, (n - skip) / wall
 
+    sess, fps = timed_pass()
     poses, valid, _ = sess.trajectory()
     gt = np.stack([f.pose_gt for f in seq.frames])
     r = ate_mod.ate(poses[valid], gt[: len(valid)][valid])
-    return (n - skip) / wall, float(r.rmse), int(valid.sum()), n, warmup_s, ingest_ms
+
+    # loop-closure-attached fps (VERDICT r03 #4): same pipeline with the
+    # bundled vocabulary + LoopCloser. Detection runs at keyframe rate and
+    # the per-frame cost is the tracked/keyframe scalar syncs.
+    from monocular_slam_tpu.retrieval import vocabulary as vocab_mod
+    from monocular_slam_tpu.slam.loop_closer import LoopCloser
+
+    lc = LoopCloser(voc=vocab_mod.load_default(), cfg=cfg)
+    _, lc_fps = timed_pass(loop_closer=lc)
+    return (fps, float(r.rmse), int(valid.sum()), n, warmup_s, ingest_ms,
+            lc_fps)
 
 
 def main():
@@ -283,12 +296,11 @@ def main():
     r = ate.ate(poses[valid], np.asarray(seq.poses_gt)[valid])
     log(f"feature-path ATE {r.rmse * 1e3:.2f} mm")
 
-    img_fps, img_ate, img_tracked, img_n, warmup_img, ingest_ms = (
-        bench_image_pipeline(n_feat)
-    )
+    (img_fps, img_ate, img_tracked, img_n, warmup_img, ingest_ms,
+     lc_fps) = bench_image_pipeline(n_feat)
     log(f"image pipeline {img_fps:.1f} fps, ATE {img_ate * 100:.2f} cm, "
         f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s, "
-        f"ingest {ingest_ms:.1f} ms/frame")
+        f"ingest {ingest_ms:.1f} ms/frame, with-loop-closer {lc_fps:.1f} fps")
 
     print(
         json.dumps(
@@ -306,6 +318,7 @@ def main():
                 "image_pipeline_tracked": f"{img_tracked}/{img_n}",
                 "image_warmup_s": round(warmup_img, 1),
                 "ingest_ms_per_frame": round(ingest_ms, 2),
+                "lc_fps": round(lc_fps, 2),
                 "kernel_fps": round(fps, 2),
                 "kernel_ate_mm": round(r.rmse * 1e3, 3),
                 "kernel_tracked": f"{int(valid.sum())}/{len(valid)}",

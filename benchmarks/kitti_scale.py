@@ -31,6 +31,22 @@ def device_mem_mb():
         return None
 
 
+def compiled_mem_mb(compiled):
+    """Peak program memory from XLA's own memory analysis (argument +
+    output + temp) — works where the tunneled backend returns no live
+    memory_stats."""
+    try:
+        m = compiled.memory_analysis()
+        tot = (
+            getattr(m, "argument_size_in_bytes", 0)
+            + getattr(m, "output_size_in_bytes", 0)
+            + getattr(m, "temp_size_in_bytes", 0)
+        )
+        return round(tot / 1e6, 1) if tot else None
+    except Exception:
+        return None
+
+
 def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     import jax
     import jax.numpy as jnp
@@ -83,12 +99,12 @@ def bench_pose_graph(n_kf: int, n_loops: int, iters: int):
     }
 
 
-def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
+def _make_ba_problem(F: int, P: int, obs_per_frame: int):
     import jax
     import jax.numpy as jnp
 
     from monocular_slam_tpu.geometry import camera, se3, so3
-    from monocular_slam_tpu.optim import ba, cg_ba
+    from monocular_slam_tpu.optim import ba
 
     key = jax.random.PRNGKey(1)
     kx, kn, kp, kt, kpt = jax.random.split(key, 5)
@@ -128,14 +144,40 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
         valid=jnp.ones(E, bool),
         fixed=jnp.zeros(F, bool).at[0].set(True),
     )
-    f = jax.jit(lambda p: cg_ba.bundle_adjust_cg(p, n_iters=iters, max_cg_iters=50))
-    res = f(prob)
+    return prob
+
+
+def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
+    import jax
+    import numpy as np
+
+    from monocular_slam_tpu.optim import cg_ba
+
+    prob = _make_ba_problem(F, P, obs_per_frame)
+    E = int(prob.cam_idx.shape[0])
+    fn = lambda p: cg_ba.bundle_adjust_cg(p, n_iters=iters, max_cg_iters=50)
+    compiled = jax.jit(fn).lower(prob).compile()
+    res = compiled(prob)
     jax.block_until_ready(res.poses)
     t0 = time.perf_counter()
-    res = f(prob)
+    res = compiled(prob)
     jax.block_until_ready(res.poses)
     dt = time.perf_counter() - t0
     n_run = int(res.n_iters_run)
+    hist = [float(c) for c in res.chi2_history]
+    # convergence accounting: LM freezes into a no-op branch when the
+    # relative improvement stalls (the g2o/ORB-SLAM stop criterion shape);
+    # also report the STATISTICAL floor — with pixel noise sigma the
+    # converged chi2 of E 2-dof Gaussian residuals is ~ 2 sigma^2 E, so
+    # "converged" is checkable, not an aesthetic judgement.
+    sigma = 0.5
+    floor = 2.0 * sigma * sigma * E
+    # first iteration after which improvement is < 0.1% for good
+    conv_at = n_run
+    for ii in range(1, len(hist)):
+        if hist[ii - 1] - hist[ii] < 1e-3 * hist[ii - 1]:
+            conv_at = ii
+            break
     return {
         "n_frames": F,
         "n_points": P,
@@ -145,8 +187,47 @@ def bench_cg_ba(F: int, P: int, obs_per_frame: int, iters: int):
         "sec_per_executed_lm_iter": round(dt / max(n_run, 1), 6),
         "executed_iters_per_sec": round(max(n_run, 1) / dt, 2),
         "chi2_initial": float(res.chi2_initial),
-        "chi2_final": float(res.chi2_history[-1]),
+        "chi2_final": hist[-1],
+        "chi2_history": [round(c, 1) for c in hist],
+        "chi2_statistical_floor": round(floor, 1),
+        "converged_at_iter": conv_at,
+        "converged_to_floor": bool(hist[-1] <= 1.5 * floor),
         "mem_mb": device_mem_mb(),
+        "program_peak_mem_mb": compiled_mem_mb(compiled),
+        "problem_mb": round(sum(
+            np.asarray(x).nbytes for x in jax.tree_util.tree_leaves(prob)
+        ) / 1e6, 1),
+    }
+
+
+def bench_cg_ba_cpu_yardstick(F, P, obs_per_frame, n_lm=2):
+    """The SAME solver on one host CPU — the measured yardstick VERDICT r03
+    #7 asked for: a g2o/Ceres-class sparse CPU solver at this scale runs
+    seconds-per-LM-iteration (its per-iteration work is ~0.8 GFLOP of
+    buildSystem + ~2 GFLOP of per-landmark Schur products + a sparse
+    6kx6k Cholesky with fill-in, on a ~5 GFLOP/s core); measuring OUR
+    matrix-free CG on the CPU brackets the hardware-vs-algorithm split."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        import jax.numpy as jnp  # noqa: F401
+
+        from monocular_slam_tpu.optim import cg_ba
+
+        prob = _make_ba_problem(F, P, obs_per_frame)
+        f = jax.jit(lambda p: cg_ba.bundle_adjust_cg(p, n_iters=n_lm, max_cg_iters=50))
+        res = f(prob)
+        jax.block_until_ready(res.poses)
+        t0 = time.perf_counter()
+        res = f(prob)
+        jax.block_until_ready(res.poses)
+        dt = time.perf_counter() - t0
+        n_run = max(int(res.n_iters_run), 1)
+    return {
+        "sec_per_executed_lm_iter": round(dt / n_run, 3),
+        "n_lm_measured": n_run,
+        "note": "same matrix-free CG solver on the host CPU (all cores)",
     }
 
 
@@ -158,6 +239,7 @@ def main(argv=None) -> int:
     p.add_argument("--ba-points", type=int, default=100000)
     p.add_argument("--obs-per-frame", type=int, default=1500)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--cpu-yardstick", action="store_true")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -172,6 +254,23 @@ def main(argv=None) -> int:
         args.ba_frames, args.ba_points, args.obs_per_frame, args.iters
     )
     print(json.dumps(out["global_ba_cg"]), file=sys.stderr, flush=True)
+    if args.cpu_yardstick:
+        print("[kitti_scale] CPU yardstick ...", file=sys.stderr, flush=True)
+        out["global_ba_cg_cpu_yardstick"] = bench_cg_ba_cpu_yardstick(
+            args.ba_frames, args.ba_points, args.obs_per_frame
+        )
+        tpu_s = out["global_ba_cg"]["sec_per_executed_lm_iter"]
+        cpu_s = out["global_ba_cg_cpu_yardstick"]["sec_per_executed_lm_iter"]
+        out["global_ba_cg_cpu_yardstick"]["tpu_speedup"] = round(cpu_s / tpu_s, 2)
+        out["global_ba_cg_cpu_yardstick"]["analytic_note"] = (
+            "a g2o-class sparse CPU solver at F=1k/P=100k/E=1.5M spends per LM "
+            "iteration ~0.8 GFLOP building the system + ~2 GFLOP on per-landmark "
+            "Schur products + a sparse 6k x 6k Cholesky with fill-in "
+            "(block_solver.hpp:373-479): seconds/iter on one core; ours is "
+            "matrix-free CG (never forms Hschur) so the comparison brackets "
+            "hardware vs algorithm"
+        )
+        print(json.dumps(out["global_ba_cg_cpu_yardstick"]), file=sys.stderr, flush=True)
     s = json.dumps(out, indent=1)
     if args.out:
         with open(args.out, "w") as fh:

@@ -256,9 +256,12 @@ def load(path: str) -> Vocabulary:
 
 
 def load_default() -> Vocabulary:
-    """Bundled 10^3-word vocabulary trained on this extractor's ORB
-    descriptors over a synthetic texture corpus (deterministic seed) — the
-    out-of-the-box analog of DBoW2's shipped ORB vocabulary."""
+    """Bundled 10^4-word (k=10, L=4) vocabulary trained on this extractor's
+    ORB descriptors over a 6-scene rendered corpus (~118k descriptors,
+    deterministic seed; `benchmarks/train_vocab.py`) — the out-of-the-box
+    analog of DBoW2's shipped ORB vocabulary (its default is k=10, L=5,
+    `TemplatedVocabulary.h:55-57`). Evaluated on disjoint scenes in
+    `benchmarks/vocab_eval_cpu.json`."""
     import os
 
     return load(os.path.join(os.path.dirname(os.path.abspath(__file__)), "default_vocab.npz"))
