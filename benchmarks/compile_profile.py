@@ -75,8 +75,9 @@ def main():
         ),
         "add_feats": (
             jax.jit(state_mod.add_frame_features),
-            (st, 11, seq.frames[0].uv, seq.frames[0].scale, seq.frames[0].valid,
-             seq.frames[0].desc, seq.frames[0].desc_pm1, seq.k),
+            (st, 11, 11, seq.frames[0].uv, seq.frames[0].scale,
+             seq.frames[0].valid, seq.frames[0].desc, seq.frames[0].desc_pm1,
+             seq.k),
         ),
         "bootstrap": (
             jax.jit(lambda s, f0, f1, k: tracker.bootstrap(s, k, cfg, f0, f1)),

@@ -147,7 +147,14 @@ def main(argv=None):
         },
         "physical_cores": n_cores,
         "one_thread_per_device": bool(args.one_thread_per_device),
-        "note": (
+        "crossover_note": (
+        "dense's per-LM-iteration collective is the full (F*6)^2 reduced "
+        "system replicated by psum - O(F^2) bytes per device per iteration, "
+        "so its throughput DEGRADES with shard count while CG's one (F,6) "
+        "psum per CG step scales; distributed_bundle_adjust(solver='auto') "
+        "picks dense <= 2 shards, cg beyond (the measured crossover)"
+    ),
+    "note": (
             "virtual CPU mesh shares physical cores; efficiency is "
             "normalized to min(shards, cores) threads when "
             "one_thread_per_device, else raw iters/sec only — absolute "

@@ -272,7 +272,7 @@ def distributed_bundle_adjust(
     n_iters: int = ba_mod.FULL_BA_ITER,
     delta: float = ba_mod.THRESH_HUBER_FULL_BA,
     tau: float = 1e-5,
-    solver: str = "dense",
+    solver: str = "auto",
     max_cg_iters: int = 100,
     cg_rtol: float = 1e-8,
 ) -> ShardedBAResult:
@@ -282,10 +282,19 @@ def distributed_bundle_adjust(
     restores original point order.
 
     solver="dense": replicated (F*6)^2 Cholesky per LM iteration — exact,
-    right for up to a few hundred keyframes.
+    right for up to a few hundred keyframes at SMALL shard counts: its
+    per-iteration collective is the full (F*6, F*6) reduced system, an
+    O(F^2) psum repeated on every device, so throughput DEGRADES with the
+    shard count (measured 4.9 -> 2.6 iters/s from 1 -> 8 shards at F=32).
     solver="cg": matrix-free block-Jacobi PCG (`optim/cg_ba.py`) — one (F,6)
-    psum per CG step, no F^2 communication; the KITTI-scale path.
+    psum per CG step, no F^2 communication; the KITTI-scale path (measured
+    2.7 -> 4.4 iters/s over the same sweep).
+    solver="auto" (default): dense on <= 2 shards, cg beyond — the measured
+    crossover.
     """
+    if solver == "auto":
+        n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        solver = "dense" if n_shards <= 2 else "cg"
     fn, args, P_orig = build_sharded_fn(
         prob, mesh, n_iters=n_iters, delta=delta, tau=tau, solver=solver,
         max_cg_iters=max_cg_iters, cg_rtol=cg_rtol,
