@@ -116,3 +116,53 @@ def test_observation_edges_skip_evicted():
     assert (slot_of[cams] >= 0).all()
     pv = np.asarray(sess.state.point_valid)
     assert pv[np.asarray(pt_idx)[v]].all()
+
+
+class TestRelocalization:
+    def test_recovers_after_blackout(self):
+        """Feed garbage frames (tracking must fail), then a real frame again:
+        the session relocalizes against the BoW-nearest keyframe and
+        resumes, writing pose AND associations (`tracker.relocalize`)."""
+        from monocular_slam_tpu.retrieval import vocabulary as vocab_mod
+        from monocular_slam_tpu.slam.loop_closer import LoopCloser
+
+        n_feat = 300
+        cfg = small_cfg(max_frames=64, n_feat=n_feat)
+        seq = make_seq(30, n_feat=n_feat, seed=6)
+        desc = np.concatenate(
+            [np.asarray(f.desc_pm1)[np.asarray(f.valid)] for f in seq.frames[:8]]
+        )
+        from monocular_slam_tpu.retrieval import vocabulary
+        voc = vocabulary.train(desc, k=8, L=3, seed=0)
+        lc = LoopCloser(voc=voc, cfg=cfg)
+        sess = SlamSession(cfg, seed=1, run_ba=True, loop_closer=lc)
+        for i in range(20):
+            st = sess.add_frame_features(seq.frames[i], seq.k, seq.timestamps[i])
+            assert bool(st.tracked)
+
+        # blackout: random descriptors, nothing matches
+        garbage = seq.frames[0]._replace(
+            desc_pm1=jnp.asarray(
+                np.random.RandomState(9).choice(
+                    np.array([-1, 1], np.int8), size=(n_feat, 256)
+                )
+            ),
+        )
+        n_fail = 0
+        for j in range(4):
+            st = sess.add_frame_features(garbage, seq.k, 100.0 + j)
+            n_fail += not bool(st.tracked)
+        assert n_fail >= 3, "garbage frames unexpectedly tracked"
+
+        # a real view again: relocalization should fire within a few frames
+        recovered = False
+        for i in range(20, 26):
+            st = sess.add_frame_features(seq.frames[i], seq.k, seq.timestamps[i])
+            if bool(st.tracked):
+                recovered = True
+                break
+        assert recovered, "relocalization never recovered tracking"
+        # the relocalized frame carries map associations, not just a pose
+        sl = int(sess.state.slot_of[st.frame])
+        fp = np.asarray(sess.state.feat_point[sl])
+        assert (fp >= 0).sum() >= sess.cfg.track.reloc_min_inliers
