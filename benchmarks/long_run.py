@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--wh", type=int, nargs=2, default=(640, 480))
     ap.add_argument("--features", type=int, default=1000)
     ap.add_argument("--root", default="/tmp/mslam_long_tum")
+    ap.add_argument("--steer", default="continuous",
+                    help="BRIEF steering mode: this orbit turns 2.9 deg/frame, "
+                         "inside the documented fast-rotation regime where "
+                         "binned-LUT steering destabilizes (see "
+                         "FrontendConfig.steer_mode)")
     args = ap.parse_args()
 
     os.environ.setdefault("MSLAM_JAX_CACHE", os.path.expanduser("~/.cache/mslam_jax"))
@@ -77,7 +82,7 @@ def main():
         max_slots=args.slots,
         max_points=30000,
         image_wh=wh,
-        frontend=FrontendConfig(n_features=args.features),
+        frontend=FrontendConfig(n_features=args.features, steer_mode=args.steer),
     )
 
     # --- offline vocabulary from the sequence's own early frames -----------
@@ -102,7 +107,11 @@ def main():
     ingest_s = time.perf_counter() - t0
     print(f"ingest (decode+upload): {ingest_s:.0f}s", file=sys.stderr)
 
-    lc = LoopCloser(voc=voc, cfg=cfg, lc=LoopClosureConfig(min_gap=60))
+    # cooldown ~ half a revolution: one correction per revisit region (the
+    # default 20-frame cooldown re-closed the same loop at every eligible
+    # keyframe — 13 global corrections in 1000 frames, each a perturbation)
+    lc = LoopCloser(voc=voc, cfg=cfg,
+                    lc=LoopClosureConfig(min_gap=60, cooldown=60))
     sess = SlamSession(cfg, seed=0, run_ba=True, loop_closer=lc)
     sess.prewarm(image=True)
 
@@ -125,6 +134,9 @@ def main():
                                 for k, v in lc.timings.items()}, file=sys.stderr)
     poses, valid, _ = sess.trajectory()
     gt = np.stack([f.pose_gt for f in seq.frames])
+    finite = np.isfinite(poses).all(axis=(1, 2))
+    n_nonfinite = int((valid & ~finite).sum())
+    valid = valid & finite
     r = ate_mod.ate(poses[valid], gt[: len(valid)][valid])
 
     slot_of = np.asarray(sess.state.slot_of)[:n]
@@ -144,6 +156,7 @@ def main():
         "resolution": f"{wh[0]}x{wh[1]}",
         "max_slots": args.slots,
         "tracked": int(valid.sum()),
+        "nonfinite_poses": n_nonfinite,
         "steady_fps": round(steady_fps, 2),
         "wall_s": round(wall, 1),
         "ate_rmse_m": round(float(r.rmse), 4),

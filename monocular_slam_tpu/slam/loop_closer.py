@@ -85,6 +85,22 @@ class LoopCloser:
             return jnp.where(rows < n_valid, s, -jnp.inf)
 
         self._score = jax.jit(_score_masked)
+        # jitted closure programs (eager execution of these on the tunneled
+        # TPU measured ~53 s/closure for the pose graph and ~16 s for Sim3 —
+        # hundreds of op-by-op RPC round trips; jitted they are one program
+        # each, cached per padded shape)
+        self._sim3_fn = jax.jit(
+            lambda key, X, Y, ok, uvx, uvy, kx, ky, Tx, Ty:
+            alignment.ransac_sim3_reproj(
+                key, X, Y, ok, uvx, uvy, kx, ky, Tx, Ty,
+                n_iters=self.lc.sim3_iters,
+                px_thresh=self.lc.sim3_px_thresh,
+                min_inliers=self.lc.sim3_min_inliers,
+            )
+        )
+        self._pg_opt = jax.jit(
+            pose_graph.optimize, static_argnames=("n_iters",)
+        )
         self._hits: list[int] = []  # recent candidate history
         self._inserted: list[int] = []  # DB rows actually populated
         self._cooldown_until = -1
@@ -184,15 +200,12 @@ class LoopCloser:
         ok = m.ok & (pid_i >= 0) & (pid_j >= 0)
         Xi = state.points[jnp.maximum(pid_i, 0)]
         Xj = state.points[jnp.maximum(pid_j, 0)]
-        res = alignment.ransac_sim3_reproj(
+        res = self._sim3_fn(
             key, Xi, Xj, ok,
-            uv_x=state.kp_uv[sl_i],
-            uv_y=state.kp_uv[sl_j][m.idx],
-            k_x=state.k[i], k_y=state.k[j],
-            T_x=state.poses[i], T_y=state.poses[j],
-            n_iters=self.lc.sim3_iters,
-            px_thresh=self.lc.sim3_px_thresh,
-            min_inliers=self.lc.sim3_min_inliers,
+            state.kp_uv[sl_i],
+            state.kp_uv[sl_j][m.idx],
+            state.k[i], state.k[j],
+            state.poses[i], state.poses[j],
         )
         if not bool(res.ok):
             return None, int(res.n_inliers)
@@ -248,7 +261,11 @@ class LoopCloser:
             )
             # padding vertices must not move (they alias frame 0)
             g = g._replace(fixed=g.fixed | ~vert_valid)
-            res = pose_graph.optimize(g, n_iters=20)
+            res = self._pg_opt(g, n_iters=20)
+            if not bool(jnp.all(jnp.isfinite(res.vertices))):
+                # degenerate graph (e.g. a bad Sim3 edge blew the solve up):
+                # refuse the correction rather than poison every pose
+                return state
             # propagate each non-keyframe through its reference (most recent
             # preceding) keyframe: S_f' = (S_f o S_r^{-1}) o S_r'
             idx = jnp.arange(Fc, dtype=jnp.int32)
@@ -276,7 +293,9 @@ class LoopCloser:
             # frames beyond the ingested range must not move
             fixed = g.fixed | ~valid
             g = g._replace(fixed=fixed)
-            res = pose_graph.optimize(g, n_iters=20)
+            res = self._pg_opt(g, n_iters=20)
+            if not bool(jnp.all(jnp.isfinite(res.vertices))):
+                return state
             verts_new = res.vertices
 
         # Map-point correction: move each point with its anchor frame (first
@@ -312,7 +331,11 @@ class LoopCloser:
 
             _t0 = _time.perf_counter()
             poses_pre_ba = state.poses
-            state = self._global_ba(state, keyframes=keyframes)
+            ba_state = self._global_ba(state, keyframes=keyframes)
+            if bool(jnp.all(jnp.isfinite(ba_state.poses))) and bool(
+                jnp.all(jnp.isfinite(ba_state.points))
+            ):
+                state = ba_state
             if keyframes is not None:
                 # Global BA moved only the KEYFRAMES (non-keyframes are
                 # marginalized out) — re-anchor every non-keyframe through
@@ -365,17 +388,25 @@ class LoopCloser:
             fixed=fixed,
         )
         F, P = state.poses.shape[0], state.points.shape[0]
-        if F * P > 4_000_000:
-            # the dense engine materializes the (F*6, P*3) Schur cross term —
-            # 19.7 GB at F=192, P=30k (measured HBM OOM on v5e). The
-            # matrix-free PCG engine never forms it.
-            from monocular_slam_tpu.optim import cg_ba
+        if not hasattr(self, "_gba_fn"):
+            if F * P > 4_000_000:
+                # the dense engine materializes the (F*6, P*3) Schur cross
+                # term — 19.7 GB at F=192, P=30k (measured HBM OOM on v5e).
+                # The matrix-free PCG engine never forms it.
+                from monocular_slam_tpu.optim import cg_ba
 
-            res = cg_ba.bundle_adjust_cg(
-                prob, n_iters=self.lc.global_ba_iters, max_cg_iters=50
-            )
-        else:
-            res = ba_mod.bundle_adjust(prob, n_iters=self.lc.global_ba_iters)
+                self._gba_fn = jax.jit(
+                    lambda pr: cg_ba.bundle_adjust_cg(
+                        pr, n_iters=self.lc.global_ba_iters, max_cg_iters=50
+                    )
+                )
+            else:
+                self._gba_fn = jax.jit(
+                    lambda pr: ba_mod.bundle_adjust(
+                        pr, n_iters=self.lc.global_ba_iters
+                    )
+                )
+        res = self._gba_fn(prob)
         return state._replace(poses=res.poses, points=res.points)
 
     # --- one-call driver ----------------------------------------------------
