@@ -262,3 +262,241 @@ def global_bundle_adjust(prob: BAProblem, n_iters: int = FULL_BA_ITER) -> BAResu
     """All-frames/all-points wrapper — the reference's `GlobalBundleAdjustemnt`
     [sic] (`src/Util.h:24`, `src/Util.cpp:28-32`; typo not replicated)."""
     return bundle_adjust(prob, n_iters=n_iters)
+
+
+def _hessian_vecprod(prob: BAProblem, lin, xp, xl):
+    """(H x) from the block linearization, never materializing H:
+    (Hx)_p = Hpp x_p + sum_e W_e x_l(e); (Hx)_l = Hll x_l + sum_e W_e^T x_p."""
+    F = lin["Hpp"].shape[0]
+    P = lin["Hll"].shape[0]
+    from monocular_slam_tpu.utils.precision import small_mv
+
+    hp = small_mv(lin["Hpp"], xp)  # (F, 6)
+    hl = small_mv(lin["Hll"], xl)  # (P, 3)
+    wx_e = small_mv(lin["W_e"], xl[prob.pt_idx])  # (E, 6)
+    hp = hp + jax.ops.segment_sum(wx_e, prob.cam_idx, num_segments=F)
+    wtx_e = jnp.sum(lin["W_e"] * xp[prob.cam_idx][..., None], axis=-2)  # (E, 3)
+    hl = hl + jax.ops.segment_sum(wtx_e, prob.pt_idx, num_segments=P)
+    return hp, hl
+
+
+def bundle_adjust_gn(
+    prob: BAProblem,
+    n_iters: int = FULL_BA_ITER,
+    delta: float = THRESH_HUBER_FULL_BA,
+    solve_fn=None,
+    linearize_fn=None,
+) -> BAResult:
+    """Gauss-Newton bundle adjustment — g2o's
+    `OptimizationAlgorithmGaussNewton` (`core/optimization_algorithm_gauss_
+    newton.cpp`): the undamped normal-equations step applied unconditionally
+    each iteration (no trust region; diverges on poorly initialized graphs,
+    converges quadratically near the optimum). A vanishing damping floor
+    (1e-12 x max diag) keeps padding landmark blocks factorizable — their
+    rhs is zero, so their update stays exactly zero."""
+    dtype = prob.poses.dtype
+    if solve_fn is None:
+        solve_fn = _schur_solve
+    if linearize_fn is None:
+        linearize_fn = _linearize_graph
+
+    lin0 = linearize_fn(prob, prob.poses, prob.points, delta)
+    diag0 = jnp.concatenate(
+        [
+            jnp.diagonal(lin0["Hpp"], axis1=-2, axis2=-1).reshape(-1),
+            jnp.diagonal(lin0["Hll"], axis1=-2, axis2=-1).reshape(-1),
+        ]
+    )
+    lam_floor = 1e-12 * jnp.maximum(jnp.max(diag0), 1.0)
+
+    def body(carry, _):
+        poses, points, lin, st = carry
+
+        def step(operand):
+            poses, points, lin, st = operand
+            dxp, dxl, _ = solve_fn(prob, lin, lam_floor)
+            poses_new = se3.compose(se3.exp(dxp), poses)
+            points_new = points + dxl
+            lin_new = linearize_fn(prob, poses_new, points_new, delta)
+            chi2_new = lin_new["chi2"]
+            # GN applies the step unconditionally; a non-finite candidate
+            # freezes the run (g2o aborts on solver failure)
+            ok = jnp.isfinite(chi2_new)
+            poses_out = jnp.where(ok, poses_new, poses)
+            points_out = jnp.where(ok, points_new, points)
+            lin_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), lin_new, lin
+            )
+            chi2_out = jnp.where(ok, chi2_new, lin["chi2"])
+            stall = (~ok) | (
+                jnp.abs(lin["chi2"] - chi2_out) < 1e-9 * (lin["chi2"] + 1e-30)
+            )
+            st_new = lm.LMState(
+                st.lam, st.nu, chi2_out, st.it + 1, st.done | stall
+            )
+            return (poses_out, points_out, lin_out, st_new), ok
+
+        def frozen(operand):
+            poses, points, lin, st = operand
+            return (
+                poses, points, lin, st._replace(it=st.it + 1)
+            ), jnp.asarray(False)
+
+        (poses, points, lin, st), accept = jax.lax.cond(
+            st.done, frozen, step, (poses, points, lin, st)
+        )
+        return (poses, points, lin, st), (st.chi2, st.lam, accept)
+
+    st0 = lm.LMState(
+        jnp.asarray(0.0, dtype), jnp.asarray(2.0, dtype), lin0["chi2"],
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    (poses, points, _, st), (chi2_h, lam_h, acc_h) = jax.lax.scan(
+        body, (prob.poses, prob.points, lin0, st0), None, length=n_iters
+    )
+    return BAResult(poses, points, lin0["chi2"], chi2_h, lam_h, acc_h, st.it)
+
+
+def bundle_adjust_dogleg(
+    prob: BAProblem,
+    n_iters: int = FULL_BA_ITER,
+    delta: float = THRESH_HUBER_FULL_BA,
+    radius0: float = 1.0,
+    solve_fn=None,
+    linearize_fn=None,
+) -> BAResult:
+    """Powell dogleg bundle adjustment — g2o's `OptimizationAlgorithmDogleg`
+    (`core/optimization_algorithm_dogleg.cpp:1-229`): blend the Cauchy
+    (steepest-descent) point and the Gauss-Newton step inside a trust region
+    of radius Delta, growing Delta on good gain ratios and shrinking it on
+    bad ones (the same update rule as g2o: rho > 0.75 -> Delta = max(Delta,
+    3|h|), rho < 0.25 -> Delta /= 2). The lambda slot of the history records
+    Delta."""
+    dtype = prob.poses.dtype
+    if solve_fn is None:
+        solve_fn = _schur_solve
+    if linearize_fn is None:
+        linearize_fn = _linearize_graph
+
+    lin0 = linearize_fn(prob, prob.poses, prob.points, delta)
+    diag0 = jnp.concatenate(
+        [
+            jnp.diagonal(lin0["Hpp"], axis1=-2, axis2=-1).reshape(-1),
+            jnp.diagonal(lin0["Hll"], axis1=-2, axis2=-1).reshape(-1),
+        ]
+    )
+    lam_floor = 1e-12 * jnp.maximum(jnp.max(diag0), 1.0)
+
+    def body(carry, _):
+        poses, points, lin, st = carry
+        radius = st.lam  # trust-region radius rides the lambda slot
+
+        def step(operand):
+            poses, points, lin, st = operand
+            radius = st.lam
+            # Gauss-Newton step
+            gp, gl, _ = solve_fn(prob, lin, lam_floor)
+            # Cauchy point: alpha = |b|^2 / (b^T H b), h_sd = alpha b
+            bp, bl = lin["bp"], lin["bl"]
+            hb_p, hb_l = _hessian_vecprod(prob, lin, bp, bl)
+            b2 = jnp.sum(bp * bp) + jnp.sum(bl * bl)
+            bHb = jnp.sum(bp * hb_p) + jnp.sum(bl * hb_l) + 1e-30
+            alpha = b2 / bHb
+            sp, sl = alpha * bp, alpha * bl
+
+            norm = lambda xp, xl: jnp.sqrt(
+                jnp.sum(xp * xp) + jnp.sum(xl * xl)
+            )
+            n_gn = norm(gp, gl)
+            n_sd = norm(sp, sl)
+
+            # dogleg blend (`optimization_algorithm_dogleg.cpp` hdl cases)
+            dp_gn_ok, dl_gn_ok = gp, gl  # case 1: GN inside the region
+            scale_sd = radius / jnp.maximum(n_sd, 1e-30)
+            dp_sd, dl_sd = scale_sd * sp, scale_sd * sl  # case 2
+            # case 3: h = h_sd + beta (h_gn - h_sd), |h| = radius
+            ap, al = gp - sp, gl - sl
+            a2 = jnp.sum(ap * ap) + jnp.sum(al * al) + 1e-30
+            c = jnp.sum(sp * ap) + jnp.sum(sl * al)
+            disc = jnp.sqrt(
+                jnp.maximum(c * c + a2 * (radius**2 - n_sd**2), 0.0)
+            )
+            beta = jnp.where(
+                c <= 0, (-c + disc) / a2, (radius**2 - n_sd**2) / (c + disc)
+            )
+            dp_bl, dl_bl = sp + beta * ap, sl + beta * al
+
+            use_gn = n_gn <= radius
+            use_sd = (~use_gn) & (n_sd >= radius)
+            dxp = jnp.where(
+                use_gn, dp_gn_ok, jnp.where(use_sd, dp_sd, dp_bl)
+            )
+            dxl = jnp.where(
+                use_gn, dl_gn_ok, jnp.where(use_sd, dl_sd, dl_bl)
+            )
+
+            poses_new = se3.compose(se3.exp(dxp), poses)
+            points_new = points + dxl
+            lin_new = linearize_fn(prob, poses_new, points_new, delta)
+            chi2_new = lin_new["chi2"]
+            # gain ratio with the quadratic-model denominator
+            hd_p, hd_l = _hessian_vecprod(prob, lin, dxp, dxl)
+            pred = (
+                jnp.sum(dxp * bp) + jnp.sum(dxl * bl)
+                - 0.5 * (jnp.sum(dxp * hd_p) + jnp.sum(dxl * hd_l))
+            )
+            rho = (lin["chi2"] - chi2_new) / (pred + 1e-30)
+            accept = (chi2_new < lin["chi2"]) & jnp.isfinite(chi2_new)
+            h_norm = norm(dxp, dxl)
+            radius_new = jnp.where(
+                rho > 0.75, jnp.maximum(radius, 3.0 * h_norm), radius
+            )
+            radius_new = jnp.where(rho < 0.25, radius_new * 0.5, radius_new)
+
+            poses_out = jnp.where(accept, poses_new, poses)
+            points_out = jnp.where(accept, points_new, points)
+            lin_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), lin_new, lin
+            )
+            chi2_out = jnp.where(accept, chi2_new, lin["chi2"])
+            stall = (
+                accept & (lin["chi2"] - chi2_new < 1e-9 * lin["chi2"])
+            ) | (radius_new < 1e-12)
+            st_new = lm.LMState(
+                radius_new, st.nu, chi2_out, st.it + 1, st.done | stall
+            )
+            return (poses_out, points_out, lin_out, st_new), accept
+
+        def frozen(operand):
+            poses, points, lin, st = operand
+            return (
+                poses, points, lin, st._replace(it=st.it + 1)
+            ), jnp.asarray(False)
+
+        (poses, points, lin, st), accept = jax.lax.cond(
+            st.done, frozen, step, (poses, points, lin, st)
+        )
+        return (poses, points, lin, st), (st.chi2, st.lam, accept)
+
+    st0 = lm.LMState(
+        jnp.asarray(radius0, dtype), jnp.asarray(2.0, dtype), lin0["chi2"],
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    (poses, points, _, st), (chi2_h, rad_h, acc_h) = jax.lax.scan(
+        body, (prob.poses, prob.points, lin0, st0), None, length=n_iters
+    )
+    return BAResult(poses, points, lin0["chi2"], chi2_h, rad_h, acc_h, st.it)
+
+
+ALGORITHMS = {
+    "lm": bundle_adjust,
+    "gn": bundle_adjust_gn,
+    "dogleg": bundle_adjust_dogleg,
+}
+
+
+def bundle_adjust_with(algorithm: str, prob: BAProblem, **kw) -> BAResult:
+    """Algorithm-selectable entry — the role of g2o's
+    `OptimizationAlgorithmFactory` ("lm" / "gn" / "dogleg"); the reference's
+    `src/` only ever instantiates LM (`src/Util.cpp:43-52`)."""
+    return ALGORITHMS[algorithm](prob, **kw)

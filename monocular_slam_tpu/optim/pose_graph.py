@@ -265,11 +265,13 @@ def sequential_graph(
     extra_j=None,
     extra_meas=None,
     extra_weight=None,
+    extra_valid=None,
     loop_weight: float = 5.0,
 ) -> PoseGraph:
     """Build the standard loop-closing graph: odometry edges between
     consecutive valid frames (measured from current estimates) + optional
-    loop edges with their measured Sim3."""
+    loop edges with their measured Sim3. `extra_valid` masks padded loop
+    edges (fixed-capacity edge lists compile once per bucket)."""
     F = poses_sim3.shape[0]
     i_idx = jnp.arange(F - 1, dtype=jnp.int32)
     j_idx = i_idx + 1
@@ -277,16 +279,22 @@ def sequential_graph(
     w = jnp.ones(F - 1, dtype=poses_sim3.dtype)
     v = valid[i_idx] & valid[j_idx]
     if extra_i is not None:
-        i_idx = jnp.concatenate([i_idx, jnp.asarray(extra_i, jnp.int32)])
+        extra_i = jnp.asarray(extra_i, jnp.int32)
+        i_idx = jnp.concatenate([i_idx, extra_i])
         j_idx = jnp.concatenate([j_idx, jnp.asarray(extra_j, jnp.int32)])
         meas = jnp.concatenate([meas, extra_meas])
         ew = (
             jnp.asarray(extra_weight)
             if extra_weight is not None
-            else jnp.full(len(extra_i), loop_weight, dtype=poses_sim3.dtype)
+            else jnp.full(extra_i.shape[0], loop_weight, dtype=poses_sim3.dtype)
         )
         w = jnp.concatenate([w, ew])
-        v = jnp.concatenate([v, jnp.ones(len(extra_i), dtype=bool)])
+        ev = (
+            jnp.asarray(extra_valid, bool)
+            if extra_valid is not None
+            else jnp.ones(extra_i.shape[0], dtype=bool)
+        )
+        v = jnp.concatenate([v, ev])
     fixed = jnp.zeros(F, bool).at[0].set(True)
     return PoseGraph(
         vertices=poses_sim3, i_idx=i_idx, j_idx=j_idx, meas=meas, weight=w,

@@ -50,22 +50,29 @@ def point_anchors(state: SlamState) -> jnp.ndarray:
 
 
 def point_descriptors(state: SlamState) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Representative +-1 descriptor per point: the descriptor of its first
-    SLOT-RESIDENT observation. Returns (desc_pm1 (P, 256) int8, has (P,)
-    bool). Points whose observers were all evicted lose their descriptor
+    """Representative +-1 descriptor per point: the descriptor of its
+    EARLIEST slot-resident observation, ranked by observing FRAME id (not
+    slot index — after slot recycling the slot ordering is allocation
+    history, and a slot-ranked representative could change when an unrelated
+    frame is evicted). Returns (desc_pm1 (P, 256) int8, has (P,) bool).
+    Points whose observers were all evicted lose their descriptor
     (has=False) and gracefully drop out of fuse/projection association —
     their 3D positions persist."""
-    F, N = state.feat_point.shape
+    S, N = state.feat_point.shape
     P = state.points.shape[0]
     cam_idx, pt_idx, _, _, valid = state_mod.observation_edges(state)
-    flat_id = jnp.arange(F * N, dtype=jnp.int32)
-    big = jnp.int32(F * N)
-    first = jax.ops.segment_min(
-        jnp.where(valid, flat_id, big), pt_idx, num_segments=P
+    flat_id = jnp.arange(S * N, dtype=jnp.int32)
+    # rank key = frame*S*N + flat slot id: min over it picks the earliest
+    # observing frame (frame capacities keep F*S*N < 2^31 — 4096 frames x
+    # 256 slots x 1024 features ~ 1.1e9)
+    key = cam_idx * jnp.int32(S * N) + flat_id
+    big = jnp.iinfo(jnp.int32).max
+    first_key = jax.ops.segment_min(
+        jnp.where(valid, key, big), pt_idx, num_segments=P
     )
-    has = first < big
-    first_safe = jnp.minimum(first, big - 1)
-    desc = state.desc_pm1.reshape(F * N, -1)[first_safe]
+    has = first_key < big
+    first_safe = jnp.where(has, first_key % jnp.int32(S * N), 0)
+    desc = state.desc_pm1.reshape(S * N, -1)[first_safe]
     return desc, has
 
 

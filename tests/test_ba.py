@@ -194,3 +194,70 @@ class TestFullBA:
         # chi2 history is non-increasing where accepted
         h = np.asarray(res.chi2_history)
         assert all(h[i + 1] <= h[i] + 1e-9 for i in range(len(h) - 1))
+
+
+class TestAlternateAlgorithms:
+    """Gauss-Newton and Powell dogleg on the shared linearization — the two
+    g2o algorithms the vendored library ships beyond LM
+    (`core/optimization_algorithm_gauss_newton.cpp`,
+    `core/optimization_algorithm_dogleg.cpp:1-229`; the reference's src/
+    only ever instantiates LM, `src/Util.cpp:43-52`)."""
+
+    def _problem(self, key, noise_poses=0.01, noise_points=0.02):
+        poses, X, uv = make_scene(key, n_frames=5, n_points=80)
+        prob = build_problem(
+            poses, X, uv, noise_poses, noise_points, jax.random.fold_in(key, 1)
+        )
+        # pin the full 7-dof monocular gauge (pose + scale) by fixing two
+        # TRUE poses: GN/dogleg have no damping pulling the free scale mode
+        # back toward the init, so truth-comparison needs the mode removed
+        prob = prob._replace(
+            poses=prob.poses.at[1].set(poses[1]),
+            fixed=prob.fixed.at[1].set(True),
+        )
+        return poses, X, prob
+
+    def test_gn_converges_to_truth(self):
+        poses, X, prob = self._problem(jax.random.PRNGKey(40))
+        res = ba.bundle_adjust_gn(prob, n_iters=10)
+        np.testing.assert_allclose(np.asarray(res.poses[:5]), np.asarray(poses), atol=1e-5)
+        assert float(res.chi2_history[-1]) < 1e-9 * float(res.chi2_initial)
+
+    def test_gn_quadratic_tail(self):
+        """Near the optimum GN converges in very few iterations (its whole
+        point vs damped LM)."""
+        _, _, prob = self._problem(jax.random.PRNGKey(41), 0.002, 0.005)
+        res = ba.bundle_adjust_gn(prob, n_iters=6)
+        h = np.asarray(res.chi2_history)
+        assert h[2] < 1e-6 * float(res.chi2_initial)
+
+    def test_dogleg_converges_to_truth(self):
+        poses, X, prob = self._problem(jax.random.PRNGKey(42))
+        res = ba.bundle_adjust_dogleg(prob, n_iters=15)
+        np.testing.assert_allclose(np.asarray(res.poses[:5]), np.asarray(poses), atol=1e-5)
+
+    def test_dogleg_respects_trust_region_from_bad_init(self):
+        """From a rough init the dogleg step must stay bounded by the radius
+        (GN alone can diverge); chi2 must still decrease monotonically over
+        accepted steps."""
+        poses, X, prob = self._problem(jax.random.PRNGKey(43), 0.08, 0.15)
+        res = ba.bundle_adjust_dogleg(prob, n_iters=20, radius0=0.1)
+        h = np.asarray(res.chi2_history)
+        acc = np.asarray(res.accepted)
+        prev = float(res.chi2_initial)
+        for i in range(len(h)):
+            if acc[i]:
+                assert h[i] <= prev + 1e-9
+                prev = h[i]
+        assert prev < 0.01 * float(res.chi2_initial)
+
+    def test_all_algorithms_agree_at_convergence(self):
+        _, _, prob = self._problem(jax.random.PRNGKey(44))
+        outs = {
+            name: ba.bundle_adjust_with(name, prob, n_iters=20)
+            for name in ("lm", "gn", "dogleg")
+        }
+        finals = {k: float(v.chi2_history[-1]) for k, v in outs.items()}
+        floor = max(min(finals.values()), 1e-12)
+        for k, v in finals.items():
+            assert v <= 10 * floor + 1e-9, (k, finals)
