@@ -238,8 +238,44 @@ def bench_image_pipeline(n_feat: int):
 
     lc = LoopCloser(voc=vocab_mod.load_default(), cfg=cfg)
     _, lc_fps = timed_pass(loop_closer=lc)
+
+    # overlapped ingest (VERDICT r4 #7): disk-PNG -> pose with the threaded
+    # native decoder PREFETCHING ahead of the device — decode+upload of
+    # frame i+depth overlaps the device step of frame i, so end-to-end-from-
+    # disk throughput approaches the preloaded-HBM fps instead of
+    # serializing 44 ms of host decode behind each 18 ms device step.
+    def overlapped_pass(depth: int = 6):
+        from concurrent.futures import ThreadPoolExecutor
+
+        skip = 10
+        sess = SlamSession(cfg, seed=1, run_ba=True)
+        with ThreadPoolExecutor(2) as ex:
+            futs = {
+                i: ex.submit(lambda j=i: jax.device_put(seq.load_image(j)))
+                for i in range(min(depth, n))
+            }
+
+            def get(i):
+                img = futs.pop(i).result()
+                nxt = i + depth
+                if nxt < n:
+                    futs[nxt] = ex.submit(
+                        lambda j=nxt: jax.device_put(seq.load_image(j))
+                    )
+                return img
+
+            for i in range(skip):
+                sess.add_frame(get(i), seq.k, seq.frames[i].timestamp)
+            jax.block_until_ready(sess.state.poses)
+            t0 = time.perf_counter()
+            for i in range(skip, n):
+                sess.add_frame(get(i), seq.k, seq.frames[i].timestamp)
+            jax.block_until_ready(sess.state.poses)
+            return (n - skip) / (time.perf_counter() - t0)
+
+    ingest_ov_fps = overlapped_pass()
     return (fps, float(r.rmse), int(valid.sum()), n, warmup_s, ingest_ms,
-            lc_fps)
+            lc_fps, ingest_ov_fps)
 
 
 def main():
@@ -297,10 +333,11 @@ def main():
     log(f"feature-path ATE {r.rmse * 1e3:.2f} mm")
 
     (img_fps, img_ate, img_tracked, img_n, warmup_img, ingest_ms,
-     lc_fps) = bench_image_pipeline(n_feat)
+     lc_fps, ingest_ov_fps) = bench_image_pipeline(n_feat)
     log(f"image pipeline {img_fps:.1f} fps, ATE {img_ate * 100:.2f} cm, "
         f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s, "
-        f"ingest {ingest_ms:.1f} ms/frame, with-loop-closer {lc_fps:.1f} fps")
+        f"ingest {ingest_ms:.1f} ms/frame, with-loop-closer {lc_fps:.1f} fps, "
+        f"overlapped-ingest {ingest_ov_fps:.1f} fps")
 
     print(
         json.dumps(
@@ -318,6 +355,9 @@ def main():
                 "image_pipeline_tracked": f"{img_tracked}/{img_n}",
                 "image_warmup_s": round(warmup_img, 1),
                 "ingest_ms_per_frame": round(ingest_ms, 2),
+                # disk->pose with decode prefetched ahead of the device
+                # (no HBM preload): proves ingest OVERLAPS device compute
+                "ingest_overlapped_fps": round(ingest_ov_fps, 2),
                 "lc_fps": round(lc_fps, 2),
                 "kernel_fps": round(fps, 2),
                 "kernel_ate_mm": round(r.rmse * 1e3, 3),

@@ -85,16 +85,11 @@ def main():
         frontend=FrontendConfig(n_features=args.features, steer_mode=args.steer),
     )
 
-    # --- offline vocabulary from the sequence's own early frames -----------
-    t0 = time.perf_counter()
-    sess0 = SlamSession(cfg, seed=0, run_ba=False)
-    descs = []
-    for i in range(0, 40, 2):
-        f = sess0._extract(jnp.asarray(seq.load_image(i), jnp.float32))
-        descs.append(np.asarray(f.desc_pm1)[np.asarray(f.valid)])
-    voc = vocab_mod.train(np.concatenate(descs), k=8, L=4, seed=0)
-    vocab_s = time.perf_counter() - t0
-    print(f"vocab: {voc.n_words} words in {vocab_s:.0f}s", file=sys.stderr)
+    # --- the BUNDLED 10^4-word vocabulary (the shipped artifact, trained on
+    # a disjoint rendered corpus — deployment parity instead of a
+    # sequence-specific tree)
+    voc = vocab_mod.load_default()
+    print(f"vocab: bundled, {voc.n_words} words", file=sys.stderr)
 
     # --- ingest: decode + preload to HBM (FrameLoader parity) ---------------
     t0 = time.perf_counter()
@@ -182,6 +177,13 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path, file=sys.stderr)
+    # trajectory dump for offline error analysis (not committed)
+    np.savez_compressed(
+        f"/tmp/long_run_traj_{dev.platform}.npz",
+        poses=poses, valid=valid, gt=gt,
+        keyframes=np.asarray(sess.keyframes),
+        closures=np.asarray(lc.closures or np.zeros((0, 2))),
+    )
 
 
 if __name__ == "__main__":

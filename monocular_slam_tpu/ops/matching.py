@@ -83,7 +83,13 @@ def match(
     BIG = jnp.int32(1 << 20)
     D = jnp.where(b_valid[None, :], D, BIG)
     D = jnp.where(a_valid[:, None], D, BIG)
+    return _select_matches(D, a_valid, ratio, max_dist, cross_check)
 
+
+def _select_matches(D, a_valid, ratio, max_dist, cross_check) -> Matches:
+    """Top-2 per row + ratio/absolute gates + optional mutual cross-check
+    over a (masked) distance table."""
+    BIG = jnp.int32(1 << 20)
     # top-2 smallest per row without a full sort: min, then masked second min.
     best = jnp.argmin(D, axis=1)  # (N,)
     d1 = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
@@ -100,3 +106,38 @@ def match(
         best_col = jnp.argmin(D, axis=0)  # (M,)
         ok = ok & (best_col[best] == jnp.arange(D.shape[0]))
     return Matches(idx=best, dist=d1, ok=ok, n_matches=jnp.sum(ok))
+
+
+def guided_match(
+    a_pm1: jnp.ndarray,
+    b_pm1: jnp.ndarray,
+    a_valid: jnp.ndarray,
+    b_valid: jnp.ndarray,
+    nodes_a: jnp.ndarray,
+    nodes_b: jnp.ndarray,
+    ratio: float = FEATURE_MATCH_RATIO_TEST,
+    max_dist: int = 256,
+    cross_check: bool = True,
+) -> Matches:
+    """DBoW2 direct-index ("FeatureVector") guided matching: only descriptor
+    pairs quantized to the SAME vocabulary node are candidates
+    (`ThirdParty/DBoW2/DBoW2/FeatureVector.h:1-56`; ORB-SLAM's
+    SearchByBoW). `nodes_*` are per-feature node ids from
+    `retrieval.vocabulary.node_words` (typically a few levels above the
+    leaves).
+
+    TPU-shaped: the full Hamming table is ONE int8 MXU matmul and costs
+    less than any bucketed gather, so the "index" is just a node-equality
+    mask on that table — same candidate-restriction semantics as DBoW2
+    (including its recall loss at quantization boundaries), none of its
+    CPU bucketing machinery. `benchmarks/loop_match_scale.py` measures both
+    paths at map scale; the mask saves no time on this hardware, so the
+    SLAM pipeline defaults to the full table and keeps this for
+    parity/recall-precision control."""
+    D = hamming_matrix(a_pm1, b_pm1)
+    BIG = jnp.int32(1 << 20)
+    same_node = nodes_a[:, None] == nodes_b[None, :]
+    D = jnp.where(same_node, D, BIG)
+    D = jnp.where(b_valid[None, :], D, BIG)
+    D = jnp.where(a_valid[:, None], D, BIG)
+    return _select_matches(D, a_valid, ratio, max_dist, cross_check)

@@ -141,24 +141,45 @@ def _descriptors_continuous(
     img: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Continuous per-keypoint steering (OpenCV ORB's semantics): rotate the
-    pattern by each keypoint's exact angle, round to pixels, sample via two
-    (K, 256) whole-image gathers. ~5 ms at K=1000 on v5e (element-granular
-    gathers) — the robustness reference the binned path trades against."""
+    pattern by each keypoint's EXACT angle and round to pixels.
+
+    MXU formulation: a sample at patch position (y, x) is the bilinear form
+    onehot(y) . P . onehot(x) over the keypoint's (D, D) patch — so all 512
+    pattern points of all K keypoints become TWO batched matmuls
+    ((K, 512, D) one-hots against (K, D, D) patches), with zero gathers.
+    The element-granular whole-image gather formulation this replaces
+    measured 7.4 ms at K=1000 on v5e; this runs in well under 1 ms, which
+    is what makes exact steering affordable as the robustness mode (and
+    the `auto` default's fallback) instead of a 5x extraction tax."""
     H, W = img.shape
-    flat = img.reshape(-1)
-    c, s = jnp.cos(angles), jnp.sin(angles)
-    pat = PATTERN.astype(img.dtype)
-
-    def rot_gather(py, px):
-        # steering: (x', y') = (x cos - y sin, x sin + y cos)
-        ry = s[:, None] * px[None, :] + c[:, None] * py[None, :]
-        rx = c[:, None] * px[None, :] - s[:, None] * py[None, :]
-        yi = jnp.clip(jnp.round(yx[:, 0:1] + ry).astype(jnp.int32), 0, H - 1)
-        xi = jnp.clip(jnp.round(yx[:, 1:2] + rx).astype(jnp.int32), 0, W - 1)
-        return flat[yi * W + xi]
-
-    v1 = rot_gather(pat[:, 0], pat[:, 1])
-    v2 = rot_gather(pat[:, 2], pat[:, 3])
+    D = STEER_PATCH
+    R = STEER_RADIUS
+    dtype = jnp.float32
+    imgp = jnp.pad(img, ((R, R), (R, R)), mode="edge")
+    yi = jnp.clip(yx[:, 0].astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip(yx[:, 1].astype(jnp.int32), 0, W - 1)
+    patches = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(imgp, (y, x), (D, D))
+    )(yi, xi).astype(dtype)  # (K, D, D), centered via the edge padding
+    c, s = jnp.cos(angles).astype(dtype), jnp.sin(angles).astype(dtype)
+    pat = PATTERN.astype(dtype)
+    py = jnp.concatenate([pat[:, 0], pat[:, 2]])  # (512,) first+second pts
+    px = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    # steering: (x', y') = (x cos - y sin, x sin + y cos); |.| <= R by the
+    # pattern's norm bound, so rotated points stay inside the patch
+    ry = jnp.round(s[:, None] * px[None, :] + c[:, None] * py[None, :])
+    rx = jnp.round(c[:, None] * px[None, :] - s[:, None] * py[None, :])
+    ry = jnp.clip(ry.astype(jnp.int32) + R, 0, D - 1)  # (K, 512)
+    rx = jnp.clip(rx.astype(jnp.int32) + R, 0, D - 1)
+    iota = jnp.arange(D, dtype=jnp.int32)
+    oy = (ry[:, :, None] == iota).astype(dtype)  # (K, 512, D)
+    ox = (rx[:, :, None] == iota).astype(dtype)
+    A = jnp.einsum(
+        "kjy,kyx->kjx", oy, patches,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, 512, D)
+    v = jnp.sum(A * ox, axis=-1)  # (K, 512) sampled intensities
+    v1, v2 = v[:, :N_BITS], v[:, N_BITS:]
     bits = v1 < v2
     pm1 = (bits.astype(jnp.int8) << 1) - jnp.int8(1)
     bu = bits.astype(jnp.uint32).reshape(-1, 8, 32)

@@ -176,6 +176,19 @@ def transform_words(voc: Vocabulary, desc_pm1: jnp.ndarray, valid: jnp.ndarray) 
     return node
 
 
+def node_words(
+    voc: Vocabulary, desc_pm1: jnp.ndarray, valid: jnp.ndarray,
+    levels_up: int = 2,
+) -> jnp.ndarray:
+    """Per-descriptor node id at `levels_up` levels above the leaves — the
+    DBoW2 FeatureVector key (`TemplatedVocabulary::transform`'s nodeid
+    output with its `levelsup` parameter; `FeatureVector.h:1-56`). In
+    breadth-first child indexing, a leaf's ancestor is an integer divide:
+    node = word // k^levels_up."""
+    words = transform_words(voc, desc_pm1, valid)
+    return words // jnp.int32(voc.k**levels_up)
+
+
 def bow_vector(voc: Vocabulary, desc_pm1: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Dense tf-idf BoW vector (V,), L1-normalized (DBoW2's default
     normalization for L1 scoring, `BowVector.h:36-53`)."""

@@ -20,11 +20,21 @@ class FrontendConfig:
     match_ratio_track: float = 0.8  # matchFeatures default (CameraPoseEstimator.cpp:200)
     max_hamming: int = 80  # absolute descriptor distance gate
     # BRIEF steering: "binned" = 6-deg LUT matmul (flagship speed, ~0.05 ms
-    # extraction; descriptor bits flip only at bin crossings) or
+    # extraction; descriptor bits flip only at bin crossings),
     # "continuous" = exact per-keypoint steering (OpenCV ORB semantics,
     # ~5 ms at K=1000; measurably more robust under fast per-frame rotation
-    # — a 4 deg/frame orbit tracked 27/100 binned vs 100/100 continuous).
-    steer_mode: str = "binned"
+    # — a 4 deg/frame orbit tracked 27/100 binned vs 100/100 continuous),
+    # or "auto" = run binned while tracking is healthy and switch to
+    # continuous when the inlier count degrades (hysteresis on an EMA; both
+    # step programs are compiled, the session just picks one per frame) —
+    # flagship speed in easy regimes, continuous robustness under
+    # aggressive motion, no manual toggle.
+    steer_mode: str = "auto"
+    # auto-mode hysteresis thresholds as fractions of n_features: drop into
+    # continuous when the tracked-inlier EMA falls below auto_low, return
+    # to binned when it recovers above auto_high
+    auto_low: float = 0.08
+    auto_high: float = 0.18
 
 
 @dataclass(frozen=True)

@@ -67,6 +67,12 @@ class LoopClosureConfig:
     # constraint for negligible cost
     min_covis: int = 0
     sim3_iters: int = 256
+    # Sim3 correspondence search: False = full Hamming table (one MXU
+    # matmul; the TPU-fast default), True = DBoW2 direct-index semantics
+    # (node-equality-masked table, `FeatureVector.h` guided matching).
+    # benchmarks/loop_match_scale.py measures both at map scale.
+    sim3_guided: bool = False
+    sim3_guided_levels_up: int = 2
     # Sim3 inlier gate: REPROJECTION error in pixels in both frames —
     # scale-free (a monocular map's scale is arbitrary; the previous metric
     # 3D radius silently tightened/loosened with bootstrap normalization).
@@ -91,7 +97,21 @@ class LoopClosureConfig:
     # skip-path edges carry the (noisier) uncorrected Sim3 measurement —
     # they constrain future graphs at lower weight
     near_id_edge_weight: float = 5.0
-    kf_bucket: int = 64  # keyframe-graph pad bucket (compile-once per size)
+    kf_bucket: int = 128  # keyframe-graph pad bucket (compile-once per size)
+    # Huber delta on pose-graph edges (g2o RobustKernelHuber): one garbage
+    # keyframe pose (a mis-relocalization) otherwise bakes a wild odometry
+    # measurement in, and LM smears its error over the whole trajectory
+    pg_huber_delta: float = 1.0
+    # Span the correction graph over EVERY valid frame instead of only the
+    # keyframe list the caller passes. Measured on the 1000-frame orbit:
+    # distributing the correction into every inter-frame gap deforms the
+    # locally-rigid, BA-refined segments (mid-course ATE 0.015 -> 0.2 m) —
+    # keyframe-granular graphs with rigid non-keyframe propagation preserve
+    # local shape better. Kept as an option; the session instead passes
+    # ALL EVER-PROMOTED keyframes (culled ones keep their poses and remain
+    # valid vertices), which bounds propagation chains by the keyframe
+    # cadence instead of by FrameCulling survival.
+    graph_all_frames: bool = False
 
 
 class DetectOut(NamedTuple):
@@ -365,14 +385,33 @@ class LoopCloser:
             # candidate's features were evicted (slot recycling): no
             # descriptor-level Sim3 is possible for this pair
             return None, 0
-        m = matching.match(
-            state.desc_pm1[sl_i],
-            state.desc_pm1[sl_j],
-            state.kp_valid[sl_i],
-            state.kp_valid[sl_j],
-            ratio=0.9,
-            max_dist=self.cfg.frontend.max_hamming,
-        )
+        if self.lc.sim3_guided:
+            na = vocab_mod.node_words(
+                self.voc, state.desc_pm1[sl_i], state.kp_valid[sl_i],
+                levels_up=self.lc.sim3_guided_levels_up,
+            )
+            nb = vocab_mod.node_words(
+                self.voc, state.desc_pm1[sl_j], state.kp_valid[sl_j],
+                levels_up=self.lc.sim3_guided_levels_up,
+            )
+            m = matching.guided_match(
+                state.desc_pm1[sl_i],
+                state.desc_pm1[sl_j],
+                state.kp_valid[sl_i],
+                state.kp_valid[sl_j],
+                na, nb,
+                ratio=0.9,
+                max_dist=self.cfg.frontend.max_hamming,
+            )
+        else:
+            m = matching.match(
+                state.desc_pm1[sl_i],
+                state.desc_pm1[sl_j],
+                state.kp_valid[sl_i],
+                state.kp_valid[sl_j],
+                ratio=0.9,
+                max_dist=self.cfg.frontend.max_hamming,
+            )
         pid_i = state.feat_point[sl_i]
         pid_j = state.feat_point[sl_j][m.idx]
         ok = m.ok & (pid_i >= 0) & (pid_j >= 0)
@@ -504,19 +543,25 @@ class LoopCloser:
         F = int(state.n_frames)
         Fc = state.poses.shape[0]
         valid_np = np.asarray(state.pose_valid) & (np.arange(Fc) < F)
-        if keyframes is None:
-            keyframes = [f for f in range(F) if valid_np[f]]
-        kf, pos_of = self._kf_positions(keyframes, i, j, valid_np)
+        all_valid = [f for f in range(F) if valid_np[f]]
+        graph_frames = (
+            all_valid
+            if (self.lc.graph_all_frames or keyframes is None)
+            else keyframes
+        )
+        kf, pos_of = self._kf_positions(graph_frames, i, j, valid_np)
         if i not in pos_of or j not in pos_of:
             # i or j lost pose validity (e.g. a DB entry for a frame that
             # later failed tracking) — no meaningful loop edge exists
             return state, False
         # Pad the graph to a bucket so the correction program compiles once
         # per bucket instead of once per closure (every closure has a new
-        # keyframe count; recompiles dominated long-run wall time in r4).
+        # vertex count; recompiles dominated long-run wall time in r4).
+        # With graph_all_frames the pad is the frame capacity: ONE compile
+        # for the session's whole life.
         B = self.lc.kf_bucket
         K = len(kf)
-        K_pad = max(B, -(-K // B) * B)
+        K_pad = Fc if self.lc.graph_all_frames else max(B, -(-K // B) * B)
         kf_pad = np.zeros(K_pad, np.int32)
         kf_pad[:K] = kf
         # remembered loop edges (padded to max_loop_edges), endpoints as
@@ -571,7 +616,18 @@ class LoopCloser:
             import time as _time2
 
             _t0 = _time2.perf_counter()
-            state = self._global_ba(state, kf_pad, K)
+            # Global BA stays KEYFRAME-marginalized even when the pose
+            # graph spans every frame (observations of non-keyframes are
+            # dropped; their poses ride the graph solution). Padded to the
+            # frame capacity: one compiled program for any keyframe count.
+            gba_list = keyframes if keyframes is not None else all_valid
+            gba_kf = [
+                f for f in sorted(set(list(map(int, gba_list)) + [i, j]))
+                if valid_np[f]
+            ]
+            gba_pad = np.zeros(Fc, np.int32)
+            gba_pad[: len(gba_kf)] = gba_kf
+            state = self._global_ba(state, gba_pad, len(gba_kf))
             jax.block_until_ready(state.poses)
             self.timings["global_ba"] += _time2.perf_counter() - _t0
         return state, True
@@ -614,7 +670,19 @@ class LoopCloser:
         )
         # padding vertices must not move (they alias frame 0)
         g = g._replace(fixed=g.fixed | ~vert_valid)
-        res = pose_graph.optimize(g, n_iters=20)
+        if K_pad <= 128:
+            res = pose_graph.optimize(
+                g, n_iters=20, huber_delta=self.lc.pg_huber_delta
+            )
+        else:
+            # dense (7K)^2 Cholesky x 20 LM iterations dominates closure
+            # wall time past ~128 keyframes (measured ~5 s/closure at
+            # K_pad=320 on v5e — TPU Cholesky panels serialize); the
+            # block-Jacobi PCG path is matrix-free over the same blocks
+            res = pose_graph.optimize_cg(
+                g, n_iters=20, max_cg_iters=100,
+                huber_delta=self.lc.pg_huber_delta,
+            )
         ok = jnp.all(jnp.isfinite(res.vertices))
 
         # propagate each non-keyframe through its reference (most recent

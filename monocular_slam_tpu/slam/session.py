@@ -338,16 +338,54 @@ class SlamSession:
             else jnp.zeros((1, 1), jnp.float32)
         )
 
-        # jit the stages once (cfg is static through closure)
-        self._extract = jax.jit(
-            partial(
-                features_mod.extract,
-                n_features=cfg.frontend.n_features,
-                n_levels=cfg.frontend.n_levels,
-                fast_threshold=cfg.frontend.fast_threshold,
-                steer_mode=cfg.frontend.steer_mode,
-            )
+        # jit the stages once (cfg is static through closure). With
+        # steer_mode="auto" BOTH steering variants of the image programs are
+        # built; the session picks one per frame from tracking health
+        # (binned while healthy, continuous when inliers degrade).
+        import dataclasses as _dc
+
+        self._auto_steer = cfg.frontend.steer_mode == "auto"
+        steer_modes = (
+            ("binned", "continuous") if self._auto_steer
+            else (cfg.frontend.steer_mode,)
         )
+        self._steer = steer_modes[0]
+        self._steer_since = 0
+        self._inlier_ema: float | None = None
+        self._programs: dict = {}
+        for m in steer_modes:
+            cfg_m = _dc.replace(
+                cfg, frontend=_dc.replace(cfg.frontend, steer_mode=m)
+            )
+            extract_m = jax.jit(
+                partial(
+                    features_mod.extract,
+                    n_features=cfg.frontend.n_features,
+                    n_levels=cfg.frontend.n_levels,
+                    fast_threshold=cfg.frontend.fast_threshold,
+                    steer_mode=m,
+                )
+            )
+            img_step_m = jax.jit(
+                lambda st, db, img, i, slot, last_kf, key, k, dist,
+                _c=cfg_m: _pack_step(
+                    *_image_session_step(
+                        st, img, i, slot, last_kf, key, k, dist, _c, run_ba
+                    ),
+                    db, i, voc, lcfg,
+                )
+            )
+            img_step_buf_m = jax.jit(
+                lambda st, db, buf, j, i, slot, last_kf, key, k, dist,
+                _c=cfg_m: _pack_step(
+                    *_image_session_step(
+                        st, buf[j], i, slot, last_kf, key, k, dist, _c,
+                        run_ba,
+                    ),
+                    db, i, voc, lcfg,
+                )
+            )
+            self._programs[m] = (extract_m, img_step_m, img_step_buf_m)
         self._bootstrap = jax.jit(
             lambda st, f0, f1, key: tracker.bootstrap(st, key, cfg, f0, f1)
         )
@@ -362,22 +400,6 @@ class SlamSession:
         self._step = jax.jit(
             lambda st, db, i, last_kf, key: _pack_step(
                 *_session_step(st, i, last_kf, key, cfg, run_ba),
-                db, i, voc, lcfg,
-            )
-        )
-        self._img_step = jax.jit(
-            lambda st, db, img, i, slot, last_kf, key, k, dist: _pack_step(
-                *_image_session_step(
-                    st, img, i, slot, last_kf, key, k, dist, cfg, run_ba
-                ),
-                db, i, voc, lcfg,
-            )
-        )
-        self._img_step_buf = jax.jit(
-            lambda st, db, buf, j, i, slot, last_kf, key, k, dist: _pack_step(
-                *_image_session_step(
-                    st, buf[j], i, slot, last_kf, key, k, dist, cfg, run_ba
-                ),
                 db, i, voc, lcfg,
             )
         )
@@ -417,6 +439,68 @@ class SlamSession:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    # current-steering program accessors (auto mode switches per frame)
+    @property
+    def _extract(self):
+        return self._programs[self._steer][0]
+
+    @property
+    def _img_step(self):
+        return self._programs[self._steer][1]
+
+    @property
+    def _img_step_buf(self):
+        return self._programs[self._steer][2]
+
+    def _update_steer_health(self, st: FrameStats) -> None:
+        """Auto steering: binned-LUT descriptors while tracking is healthy,
+        exact continuous steering when tracking degrades (fast per-frame
+        rotation destabilizes binned descriptors — the inlier-EMA drop is
+        the early warning, a failed frame the alarm).
+
+        Switching changes every subsequent descriptor, which perturbs
+        matching against pre-switch frames (~a bin's worth of Hamming
+        noise) — so switches carry a DWELL time: the degrade switch fires
+        at most once per dwell window, and the recover switch additionally
+        demands a long healthy streak. Measured without the dwell: the mode
+        flapped every few frames and the switch noise itself broke
+        tracking."""
+        fe = self.cfg.frontend
+        i = st.frame
+        if st.tracked:
+            n = float(st.n_inliers)
+            self._inlier_ema = (
+                n if self._inlier_ema is None
+                else 0.7 * self._inlier_ema + 0.3 * n
+            )
+        low = fe.auto_low * fe.n_features
+        high = fe.auto_high * fe.n_features
+        dwell = i - self._steer_since
+        if self._steer == "binned":
+            # degradation is usually a CLIFF, not a slope (measured: >=100
+            # inliers for 40 frames, dead 4 frames later) — so trigger on a
+            # sharp RELATIVE drop against the healthy EMA as well as on the
+            # absolute floor and outright failure
+            sharp_drop = (
+                st.tracked
+                and self._inlier_ema is not None
+                and float(st.n_inliers) < 0.45 * self._inlier_ema
+            )
+            ema_low = self._inlier_ema is not None and self._inlier_ema < low
+            if (not st.tracked) or (dwell >= 10 and (sharp_drop or ema_low)):
+                self._steer = "continuous"
+                self._steer_since = i
+                self._inlier_ema = None  # fresh statistics for the new mode
+        else:
+            if (
+                st.tracked
+                and dwell >= 50
+                and self._inlier_ema is not None
+                and self._inlier_ema > high
+            ):
+                self._steer = "binned"
+                self._steer_since = i
+
     def prewarm(self, image: bool = False, n_threads: int = 4) -> float:
         """Compile the session's per-frame programs ahead of the first frame,
         in PARALLEL threads (XLA releases the GIL while the backend — here a
@@ -434,18 +518,26 @@ class SlamSession:
         N = cfg.frontend.n_features
         dtype = st.kp_uv.dtype
 
-        def c_extract():
-            if image:
-                img = jnp.zeros((cfg.image_wh[1], cfg.image_wh[0]), jnp.float32)
-                self._extract.lower(img).compile()
+        def _mk_extract(fn):
+            def c():
+                if image:
+                    img = jnp.zeros(
+                        (cfg.image_wh[1], cfg.image_wh[0]), jnp.float32
+                    )
+                    fn.lower(img).compile()
+            return c
 
-        def c_img_step():
-            if image:
-                img = jnp.zeros((cfg.image_wh[1], cfg.image_wh[0]), jnp.float32)
-                self._img_step.lower(
-                    st, db, img, 2, 2, jnp.asarray(0, jnp.int32), key,
-                    jnp.zeros(4, dtype), jnp.zeros(5, dtype),
-                ).compile()
+        def _mk_img_step(fn):
+            def c():
+                if image:
+                    img = jnp.zeros(
+                        (cfg.image_wh[1], cfg.image_wh[0]), jnp.float32
+                    )
+                    fn.lower(
+                        st, db, img, 2, 2, jnp.asarray(0, jnp.int32), key,
+                        jnp.zeros(4, dtype), jnp.zeros(5, dtype),
+                    ).compile()
+            return c
 
         def c_add():
             self._add_feats.lower(
@@ -462,11 +554,12 @@ class SlamSession:
                 st, db, 2, jnp.asarray(0, jnp.int32), key
             ).compile()
 
+        jobs = [c_add, c_boot, c_step]
+        for ext_fn, img_fn, _buf_fn in self._programs.values():
+            jobs.append(_mk_extract(ext_fn))
+            jobs.append(_mk_img_step(img_fn))
         with ThreadPoolExecutor(n_threads) as ex:
-            futs = [
-                ex.submit(f)
-                for f in (c_extract, c_img_step, c_add, c_boot, c_step)
-            ]
+            futs = [ex.submit(f) for f in jobs]
             for f in futs:
                 f.result()
         return time.perf_counter() - t0
@@ -601,9 +694,10 @@ class SlamSession:
 
     def _enqueue(self, st: FrameStats) -> None:
         self.stats.append(st)
-        if self.loop_closer is None:
+        if self.loop_closer is None and not self._auto_steer:
             return
-        self.loop_closer._db = self._db
+        if self.loop_closer is not None:
+            self.loop_closer._db = self._db
         self._pending.append(st)
         self._drain(force=False)
 
@@ -624,6 +718,10 @@ class SlamSession:
         i = st.frame
         st._resolve()
         self._fold_kf_upto(i + 1)
+        if self._auto_steer:
+            self._update_steer_health(st)
+        if self.loop_closer is None:
+            return
         if not st.tracked:
             # Relocalization (ORB-SLAM Tracking::Relocalization): after a
             # run of failures, PnP against the BoW-nearest keyframes. Only
@@ -648,9 +746,14 @@ class SlamSession:
         lc = self.loop_closer
         j = lc.offer(i, st.cand_j, st.cand_score, st.cand_floor, st.cand_n)
         if j is not None and j not in self._kf_culled:
+            # the correction graph spans EVERY ever-promoted keyframe —
+            # culled ones keep their poses and remain valid vertices, so
+            # non-keyframe propagation chains stay bounded by the keyframe
+            # cadence (propagating a whole early revolution through the one
+            # surviving early keyframe measured 0.3-1.0 m of frozen drift)
             self.state, closed = lc.close(
                 self.state, i, j, self._split(),
-                keyframes=self._keyframes_known(),
+                keyframes=list(self._keyframes),
             )
             st.loop_closed = closed
 
@@ -827,7 +930,8 @@ class SlamSession:
                     self._db, jnp.asarray(rows)
                 )
             self.loop_closer._db = self._db
-            self.loop_closer.drop_edges_for(culled)
+            # remembered loop edges are NOT dropped: a culled keyframe keeps
+            # its pose and stays a valid vertex of the correction graph
         return culled
 
     def cull_redundant_keyframes(self) -> list[int]:
