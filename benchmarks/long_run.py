@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--wh", type=int, nargs=2, default=(640, 480))
     ap.add_argument("--features", type=int, default=1000)
     ap.add_argument("--root", default="/tmp/mslam_long_tum")
+    ap.add_argument("--vocab", default="bundled",
+                    help="'bundled' or a path to a vocabulary .npz")
     ap.add_argument("--steer", default="continuous",
                     help="BRIEF steering mode: this orbit turns 2.9 deg/frame, "
                          "inside the documented fast-rotation regime where "
@@ -87,9 +89,12 @@ def main():
 
     # --- the BUNDLED 10^4-word vocabulary (the shipped artifact, trained on
     # a disjoint rendered corpus — deployment parity instead of a
-    # sequence-specific tree)
-    voc = vocab_mod.load_default()
-    print(f"vocab: bundled, {voc.n_words} words", file=sys.stderr)
+    # sequence-specific tree), or an explicit tree for A/B runs
+    if args.vocab == "bundled":
+        voc = vocab_mod.load_default()
+    else:
+        voc = vocab_mod.load(args.vocab)
+    print(f"vocab: {args.vocab}, {voc.n_words} words", file=sys.stderr)
 
     # --- ingest: decode + preload to HBM (FrameLoader parity) ---------------
     t0 = time.perf_counter()

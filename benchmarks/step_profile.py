@@ -160,7 +160,8 @@ def main():
     f0 = seq.frames[0]
     af = jax.jit(
         lambda st: state_mod.add_frame_features(
-            st, 63, f0.uv, f0.scale, f0.valid, f0.desc, f0.desc_pm1, seq.k
+            st, 63, 63, f0.uv, f0.scale, f0.valid, f0.desc, f0.desc_pm1,
+            seq.k,
         )
     )
     out["add_feats_chained_ms"] = chained(af, warm, n=30) * 1e3

@@ -90,11 +90,16 @@ def _select_matches(D, a_valid, ratio, max_dist, cross_check) -> Matches:
     """Top-2 per row + ratio/absolute gates + optional mutual cross-check
     over a (masked) distance table."""
     BIG = jnp.int32(1 << 20)
-    # top-2 smallest per row without a full sort: min, then masked second min.
-    best = jnp.argmin(D, axis=1)  # (N,)
-    d1 = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
-    D2 = D.at[jnp.arange(D.shape[0]), best].set(BIG)
-    d2 = jnp.min(D2, axis=1)
+    # top-2 smallest per row without a full sort: fused min+argmin, then a
+    # compare-masked second pass. (A per-row `.at[].set` scatter for the
+    # second min lowered to a slow dynamic-update path on TPU — the
+    # broadcast compare is a plain fused elementwise pass over D.)
+    best = jnp.argmin(D, axis=1).astype(jnp.int32)  # (N,)
+    d1 = jnp.min(D, axis=1)
+    cols = jnp.arange(D.shape[1], dtype=jnp.int32)
+    d2 = jnp.min(
+        jnp.where(cols[None, :] == best[:, None], BIG, D), axis=1
+    )
 
     ok = (
         a_valid

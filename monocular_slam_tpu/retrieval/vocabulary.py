@@ -70,8 +70,15 @@ def _kmeans_binary(rng, desc: np.ndarray, k: int, iters: int = 8):
     centers = [desc[first]]
     d2 = _hamming_np(desc, desc[first : first + 1])[:, 0].astype(np.float64)
     for _ in range(k - 1):
-        probs = d2 / max(d2.sum(), 1e-9)
-        nxt = rng.choice(n, p=probs)
+        s = d2.sum()
+        if s <= 0:
+            # every remaining descriptor coincides with a chosen center
+            # (deep-level groups of near-duplicates) — uniform pick
+            nxt = rng.randint(n)
+        else:
+            probs = d2 / s
+            probs = probs / probs.sum()  # exact renormalization for choice()
+            nxt = rng.choice(n, p=probs)
         centers.append(desc[nxt])
         d2 = np.minimum(d2, _hamming_np(desc, desc[nxt : nxt + 1])[:, 0])
     centers = np.stack(centers)

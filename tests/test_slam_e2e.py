@@ -135,3 +135,61 @@ class TestEvaluation:
         poses = np.asarray(arc_trajectory(10))
         r = ate.ate(poses, poses)
         assert r.rmse < 1e-12
+
+
+class TestAutoSteering:
+    """Hysteresis logic of the adaptive BRIEF-steering mode (the default):
+    binned while healthy, continuous on collapse, dwell against flapping."""
+
+    def _mk(self):
+        from monocular_slam_tpu.slam.config import FrontendConfig, SlamConfig
+        from monocular_slam_tpu.slam.session import FrameStats, SlamSession
+
+        cfg = SlamConfig(
+            max_frames=16, max_points=500,
+            frontend=FrontendConfig(n_features=100, steer_mode="auto"),
+        )
+        return SlamSession(cfg, seed=0, run_ba=False), FrameStats
+
+    def _st(self, FrameStats, frame, tracked, n):
+        st = FrameStats(frame=frame)
+        st.tracked = tracked
+        st.n_inliers = n
+        return st
+
+    def test_healthy_stays_binned(self):
+        sess, FS = self._mk()
+        for i in range(30):
+            sess._update_steer_health(self._st(FS, i, True, 40))
+        assert sess._steer == "binned"
+
+    def test_failure_switches_immediately(self):
+        sess, FS = self._mk()
+        for i in range(5):
+            sess._update_steer_health(self._st(FS, i, True, 40))
+        sess._update_steer_health(self._st(FS, 5, False, 0))
+        assert sess._steer == "continuous"
+
+    def test_sharp_drop_switches(self):
+        sess, FS = self._mk()
+        for i in range(20):
+            sess._update_steer_health(self._st(FS, i, True, 40))
+        # cliff: 40 -> 10 inliers while still tracked
+        sess._update_steer_health(self._st(FS, 20, True, 10))
+        assert sess._steer == "continuous"
+
+    def test_recovery_needs_dwell(self):
+        sess, FS = self._mk()
+        sess._update_steer_health(self._st(FS, 0, False, 0))
+        assert sess._steer == "continuous"
+        # healthy again, but the 50-frame dwell must pass before binned
+        for i in range(1, 40):
+            sess._update_steer_health(self._st(FS, i, True, 40))
+        assert sess._steer == "continuous"
+        for i in range(40, 80):
+            sess._update_steer_health(self._st(FS, i, True, 40))
+        assert sess._steer == "binned"
+
+    def test_both_programs_exist_in_auto(self):
+        sess, _ = self._mk()
+        assert set(sess._programs) == {"binned", "continuous"}
