@@ -85,6 +85,16 @@ class PnPResult(NamedTuple):
     ok: jnp.ndarray  # bool — solution trustworthy (enough inliers)
 
 
+def _score_pose(T, X, uv, k, mask, px_thresh):
+    """Inlier mask + count of one pose hypothesis (broadcasts over leading
+    hypothesis axes of T)."""
+    Xc = se3.apply(T[..., None, :, :], X)  # (..., N, 3)
+    proj = cam.project(k, Xc)
+    err2 = jnp.sum((proj - uv) ** 2, axis=-1)
+    inl = (err2 < px_thresh * px_thresh) & (Xc[..., 2] > 0) & mask
+    return inl, jnp.sum(inl, axis=-1)
+
+
 def solve_pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,
@@ -95,12 +105,28 @@ def solve_pnp_ransac(
     px_thresh: float = 3.0,
     min_inliers: int = 10,
     refine: bool = True,
+    T_init: jnp.ndarray | None = None,
+    lo_rounds: int = 2,
 ) -> PnPResult:
-    """RANSAC PnP. X: (N, 3) map points; uv: (N, 2) pixels; k: (4,); mask: (N,).
+    """LO-RANSAC PnP. X: (N, 3) map points; uv: (N, 2) pixels; k: (4,);
+    mask: (N,).
 
     Replaces `cv::solvePnPRansac` (`src/CameraPoseEstimator.cpp:472`). The
     reference hardcodes TUM-F1 distortion there for every dataset (SURVEY 2.4
     bug) — here the caller undistorts once upstream instead.
+
+    Robustness structure (each step measured against seed-flakiness on the
+    rendered bench, where plain 6-pt-DLT RANSAC tracked 10/60 frames on an
+    unlucky PRNG seed):
+      * `T_init` (e.g. the tracker's constant-velocity prediction) rides the
+        hypothesis pool for free — tracking never does worse than the motion
+        model's own consensus.
+      * LO (locally-optimized) rounds: the best minimal hypothesis is refit
+        with the EXACT weighted DLT over its full inlier set and re-scored,
+        twice. A noisy 6-point hypothesis that captures only part of its
+        true consensus gets pulled onto all of it — removing the key-to-key
+        variance of minimal-sample RANSAC (a weak-but-right hypothesis now
+        converges to the pose a lucky draw would have found directly).
     """
     N = X.shape[0]
     xy = cam.normalize_points(k, uv)  # (N, 2)
@@ -109,16 +135,24 @@ def solve_pnp_ransac(
     # Fast approximate nullspace for the hypothesis batch; the LM refinement
     # below polishes the winner exactly.
     T_h = pnp_dlt(X[idx], xy[idx], solver="inv_iter")  # (K, 3, 4)
+    if T_init is not None:
+        T_h = jnp.concatenate([T_h, T_init[None]], axis=0)
 
     # Score: reprojection error of ALL points under each hypothesis.
-    Xc = se3.apply(T_h[:, None], X[None])  # (K, N, 3)
-    proj = cam.project(k, Xc)
-    err2 = jnp.sum((proj - uv[None]) ** 2, axis=-1)
-    inl = (err2 < px_thresh * px_thresh) & (Xc[..., 2] > 0) & mask[None]
-    scores = jnp.sum(inl, axis=-1)
+    inl, scores = _score_pose(T_h, X[None], uv[None], k, mask[None], px_thresh)
     best = jnp.argmax(scores)
     T_best = T_h[best]
     inl_best = inl[best]
+    n_best = scores[best]
+
+    for _ in range(lo_rounds):
+        w = (inl_best & mask).astype(X.dtype)
+        T_lo = pnp_dlt(X, xy, w=w, solver="eigh")
+        inl_lo, n_lo = _score_pose(T_lo, X, uv, k, mask, px_thresh)
+        use = n_lo > n_best
+        T_best = jnp.where(use, T_lo, T_best)
+        inl_best = jnp.where(use, inl_lo, inl_best)
+        n_best = jnp.where(use, n_lo, n_best)
 
     if refine:
         res = pose_ba.refine_pose(

@@ -98,45 +98,6 @@ def orientations(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
-def _binned_diff_matrix() -> np.ndarray:
-    """(STEER_PATCH^2, N_ANGLE_BINS * 256) float32 ±1 selection matrix.
-
-    Column (b*256 + j) holds +1 at BRIEF test j's SECOND point and -1 at its
-    FIRST, rotated by bin angle 2*pi*b/N_ANGLE_BINS and rounded to the pixel
-    grid — the ORB paper's per-angle lookup tables ("the angle is quantized
-    ... and a lookup table of precomputed BRIEF patterns constructed"),
-    expressed as a matrix so sampling runs on the MXU: patch . column =
-    v2 - v1. Tests whose two points round to the same pixel yield a zero
-    column (bit = 0), exactly like v1 < v2 on equal values."""
-    pat = np.asarray(_make_pattern(), np.float64)  # (256, 4) y1 x1 y2 x2
-    R, D = STEER_RADIUS, STEER_PATCH
-    M = np.zeros((D * D, N_ANGLE_BINS * N_BITS), np.float32)
-    for b in range(N_ANGLE_BINS):
-        a = 2.0 * np.pi * b / N_ANGLE_BINS
-        c, s = np.cos(a), np.sin(a)
-        for j, sign in ((0, -1.0), (1, +1.0)):  # first point -1, second +1
-            py, px = pat[:, 2 * j], pat[:, 2 * j + 1]
-            ry = np.round(s * px + c * py).astype(np.int64)  # |.| <= R by norm
-            rx = np.round(c * px - s * py).astype(np.int64)
-            li = (ry + R) * D + (rx + R)
-            np.add.at(
-                M[:, b * N_BITS : (b + 1) * N_BITS], (li, np.arange(N_BITS)), sign
-            )
-    return M
-
-
-_DIFF_MATRIX_NP: np.ndarray | None = None
-
-
-def _diff_matrix() -> jnp.ndarray:
-    # cache the numpy; convert per call (caching the jnp array would leak a
-    # tracer when first touched inside a jit trace)
-    global _DIFF_MATRIX_NP
-    if _DIFF_MATRIX_NP is None:
-        _DIFF_MATRIX_NP = _binned_diff_matrix()
-    return jnp.asarray(_DIFF_MATRIX_NP)
-
-
 def _descriptors_continuous(
     img: jnp.ndarray, yx: jnp.ndarray, angles: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -198,61 +159,41 @@ def descriptors_and_pm1(
 
     TPU formulation: one STEER_PATCH^2 `dynamic_slice` patch per keypoint
     from an edge-padded image (padding keeps every patch centered AND
-    reproduces the image-edge clamp of direct sampling), then ONE MXU matmul
-    against the per-angle-bin ±1 selection matrix (v2 - v1 for all bins at
-    once) and a gather-free one-hot bin select. Element-granular whole-image
-    gathers — the direct formulation — measured 5.4 ms at K=1000 on v5e, and
-    even patch-local take_along_axis lookups cost the same; this path is
-    ~0.5 ms. Steering quantized to N_ANGLE_BINS (6 deg) is the ORB paper's
-    own LUT discretization (the paper uses 12 deg); 6-deg bins cost ~9 bits
-    of quantization noise vs continuous steering — well under typical
-    inter-frame inlier Hamming distances (~31) — and halve the noise of the
-    paper's own tables. The f32 HIGHEST matmul keeps each comparison exact
-    (each output is one +1 and one -1 product; bf16 patches measured enough
-    near-tie bit flips to destabilize tracking on low-texture scenes).
+    reproduces the image-edge clamp of direct sampling), then the one-hot
+    bilinear sampling core of `_descriptors_continuous` — two batched MXU
+    matmuls, zero gathers (element-granular whole-image gathers, the direct
+    formulation, measured 5.4 ms at K=1000 on v5e). Steering quantized to
+    N_ANGLE_BINS (6 deg) is the ORB paper's own LUT discretization (the
+    paper uses 12 deg); 6-deg bins cost ~9 bits of quantization noise vs
+    continuous steering — well under typical inter-frame inlier Hamming
+    distances (~31) — and halve the noise of the paper's own tables. The
+    f32 HIGHEST sampling keeps each comparison exact (bf16 patches measured
+    enough near-tie bit flips to destabilize tracking on low-texture
+    scenes).
 
-    steer_mode: "binned" (this path — flagship speed; descriptor bits flip
-    only when orientation crosses a 6-deg bin edge) or "continuous"
-    (`_descriptors_continuous` — exact per-keypoint steering, ~5 ms at
-    K=1000, measurably more robust under fast per-frame rotation where bin
-    crossings fire for many keypoints every frame: a 4 deg/frame orbit
-    tracked 27/100 binned vs 100/100 continuous)."""
-    if steer_mode == "continuous":
-        return _descriptors_continuous(img, yx, angles)
-    H, W = img.shape
-    D = STEER_PATCH
-    R = STEER_RADIUS
-    imgp = jnp.pad(img, ((R, R), (R, R)), mode="edge")
-    yi = jnp.clip(yx[:, 0].astype(jnp.int32), 0, H - 1)
-    xi = jnp.clip(yx[:, 1].astype(jnp.int32), 0, W - 1)
-    patches = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(imgp, (y, x), (D, D))
-    )(yi, xi)  # padded origin (y, x) centers the patch at the keypoint
-    pf = patches.reshape(-1, D * D).astype(jnp.float32)
-    A = jnp.matmul(
-        pf,
-        _diff_matrix(),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).reshape(-1, N_ANGLE_BINS, N_BITS)
-    # Hard nearest-bin select (the ORB paper's LUT semantics). An
-    # angle-interpolated two-bin blend was tried and reverted: adjacent bins
-    # disagree on ~19 of 256 bits, and blending makes exactly those bits
-    # sensitive to per-frame orientation jitter at EVERY angle (measured
-    # 0.25 cm -> 42 cm bench ATE); the hard select flips bits only when a
-    # keypoint's orientation crosses a 6-deg bin edge.
-    bins = (
-        jnp.round(angles * (N_ANGLE_BINS / (2.0 * np.pi))).astype(jnp.int32)
-        % N_ANGLE_BINS
-    )
-    sel = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)  # (K, NB)
-    diff = jnp.einsum("knb,kn->kb", A, sel)  # gather-free bin select
-    bits = diff > 0
-    pm1 = (bits.astype(jnp.int8) << 1) - jnp.int8(1)
-    bu = bits.astype(jnp.uint32).reshape(-1, 8, 32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    packed = jnp.sum(bu << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
-    return packed, pm1
+    steer_mode: "binned" (quantized steering — descriptor bits flip only
+    when orientation crosses a 6-deg bin edge, the stability the ORB
+    paper's LUTs buy on slow scenes) or "continuous" (exact per-keypoint
+    steering, measurably more robust under fast per-frame rotation where
+    bin crossings fire for many keypoints every frame: a 4 deg/frame orbit
+    tracked 27/100 binned vs 100/100 continuous).
+
+    Both modes now run the SAME one-hot sampling core; binned just
+    quantizes the angle first. This replaced an explicit
+    (patch, N_ANGLE_BINS*256) LUT matmul that computed all 60 bins per
+    keypoint and selected one — 46.7 of the extractor's 48.8 analytic
+    GFLOPs for 1/60 of its output (the one-hot core computes only the
+    selected bin: measured 5.9 -> 3.9 ms extraction at K=1000 on v5e)."""
+    if steer_mode != "continuous":
+        # Hard nearest-bin quantization (the ORB paper's LUT semantics). An
+        # angle-interpolated two-bin blend was tried and reverted: adjacent
+        # bins disagree on ~19 of 256 bits, and blending makes exactly those
+        # bits sensitive to per-frame orientation jitter at EVERY angle
+        # (measured 0.25 cm -> 42 cm bench ATE); hard quantization flips
+        # bits only when orientation crosses a 6-deg bin edge.
+        bins = jnp.round(angles * (N_ANGLE_BINS / (2.0 * np.pi)))
+        angles = bins * (2.0 * np.pi / N_ANGLE_BINS)
+    return _descriptors_continuous(img, yx, angles)
 
 
 def descriptors(

@@ -71,6 +71,11 @@ class TrackConfig:
     # associations for still-free features, then motion-only re-refine.
     track_local_map: bool = True
     local_map_cap: int = 4096  # projection slab capacity
+    # older covisible frames added to the projection slab beyond the
+    # back-traverse window (ORB-SLAM's covisibility local map): at a
+    # revisit the tracker re-adopts the ORIGINAL map points and anchors to
+    # them, bounding drift without an explicit loop closure
+    local_map_covis: int = 6
     local_radius_px: float = 9.0  # projection search radius (PnP pose)
     predict_radius_px: float = 18.0  # search radius under the motion model
     local_max_hamming: int = 64
@@ -96,9 +101,12 @@ class BAConfig:
     # With keyframe_only, also run the mapping block every Nth frame even
     # without a keyframe (0 disables): long all-tracked stretches otherwise
     # accumulate unrefined triangulations between sparse keyframes (measured
-    # 0.4 -> 6 mm synthetic ATE with no floor; a 4-frame floor restores it
-    # at ~1/4 of the per-frame-BA cost).
-    cadence_floor: int = 4
+    # 0.4 -> 6 mm synthetic ATE with no floor). 2 (not 4): on the rendered
+    # image bench the denser floor cut per-seed drift from 0.8-1.6 cm to a
+    # tight 0.7-0.9 cm across 4 PRNG seeds — the floor is the cheapest
+    # anti-drift lever the session has (a window/iteration bump bought
+    # less at higher cost).
+    cadence_floor: int = 2
     # ...and on EVERY tracked frame for the first `warmup_frames`: the young
     # bootstrap map is noisy 2-view structure whose points have too few
     # observations to survive culling unless BA polishes them as the first

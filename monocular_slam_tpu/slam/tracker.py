@@ -274,9 +274,16 @@ def _window_matches(state: SlamState, i, cfg: SlamConfig):
 
 
 def _local_map_slab(state: SlamState, i, cfg: SlamConfig):
-    """Compact the map points observed by the back-traverse window into a
-    fixed (L,) slab with a representative descriptor per point (from its
-    most recent window observation).
+    """Compact the map points observed by the back-traverse window PLUS the
+    most covisible older resident frames into a fixed (L,) slab with a
+    representative descriptor per point.
+
+    The covisible extension is ORB-SLAM's actual TrackLocalMap semantics
+    (the local map spans covisibility-connected KEYFRAMES, not a fixed
+    recency window): when the trajectory revisits mapped territory, the
+    projection association re-adopts the ORIGINAL map points, anchoring the
+    pose to old structure instead of the drifted recent clones — drift
+    correction without an explicit loop closure.
 
     Returns (slab_pid (L,), usable (L,) bool, desc_l (L, 256) int8)."""
     tcfg = cfg.track
@@ -286,8 +293,44 @@ def _local_map_slab(state: SlamState, i, cfg: SlamConfig):
     L = min(tcfg.local_map_cap, P)
 
     js_safe, js_ok = _window_frames(state, i, cfg)
+    C = tcfg.local_map_covis
+    if C:
+        # covisibility row of the most recent tracked frame: count each
+        # resident frame's overlap with its live map points, then take the
+        # top-C older frames OUTSIDE the recency window.
+        F = state.poses.shape[0]
+        ref_slot = state_mod.slot_index(state, js_safe[0])
+        pid_ref = state.feat_point[ref_slot]
+        active = jnp.zeros(P + 1, bool).at[
+            jnp.where(
+                (pid_ref >= 0) & state.kp_valid[ref_slot], pid_ref, P
+            )
+        ].set(True).at[P].set(False)
+        pid_all = state.feat_point  # (S, N)
+        hit = (
+            active[jnp.maximum(pid_all, 0)]
+            & (pid_all >= 0)
+            & state.kp_valid
+            & state.point_valid[jnp.maximum(pid_all, 0)]
+        )
+        cnt_slot = jnp.sum(hit.astype(jnp.int32), axis=1)  # (S,)
+        idxF = jnp.arange(F, dtype=jnp.int32)
+        in_window = jnp.any(idxF[None, :] == js_safe[:, None], axis=0)
+        cnt_f = jnp.where(
+            (state.slot_of >= 0)
+            & state.pose_valid
+            & (idxF < i)
+            & ~in_window,
+            cnt_slot[jnp.maximum(state.slot_of, 0)],
+            -1,
+        )
+        cscore, jc = jax.lax.top_k(cnt_f, C)
+        jc_ok = cscore > 0
+        js_safe = jnp.concatenate([js_safe, jnp.maximum(jc, 0)])
+        js_ok = jnp.concatenate([js_ok, jc_ok])
+        B = B + C
     sjs = state_mod.slot_index(state, js_safe)  # (B,) slots (resident by
-    # construction: _window_frames only picks slot-resident frames)
+    # construction: only slot-resident frames score/qualify)
 
     pid_win = state.feat_point[sjs]  # (B, N)
     win_valid = (
@@ -405,15 +448,16 @@ def track(
 
     # --- motion-model projection association (TrackWithMotionModel) ---------
     use_lm = cfg.track.track_local_map
+    T_pred = _predict_pose(state, i)
     if use_lm:
         slab_pid, usable, desc_l = _local_map_slab(state, i, cfg)
-        T_pred = _predict_pose(state, i)
         pid, _ = _project_associate(
             state, i, T_pred, pid, slab_pid, usable, desc_l,
             cfg.track.predict_radius_px, cfg,
         )
 
-    # --- PnP on associated pairs ---
+    # --- PnP on associated pairs (constant-velocity prediction rides the
+    # hypothesis pool; LO rounds deflake the minimal-sample draw) ---
     Xmap = state.points[jnp.maximum(pid, 0)]
     k_pnp, k_rest = jax.random.split(key)
     pres = pnp.solve_pnp_ransac(
@@ -425,6 +469,7 @@ def track(
         n_iters=cfg.track.pnp_iters,
         px_thresh=cfg.track.pnp_px_thresh,
         min_inliers=cfg.track.pnp_min_inliers,
+        T_init=T_pred,
     )
     T_i = pres.T
 
