@@ -237,7 +237,9 @@ def bench_image_pipeline(n_feat: int):
     from monocular_slam_tpu.slam.loop_closer import LoopCloser
 
     lc = LoopCloser(voc=vocab_mod.load_default(), cfg=cfg)
-    _, lc_fps = timed_pass(loop_closer=lc)
+    lc_sess, lc_fps = timed_pass(loop_closer=lc)
+    lc_poses, lc_valid, _ = lc_sess.trajectory()
+    lc_r = ate_mod.ate(lc_poses[lc_valid], gt[: len(lc_valid)][lc_valid])
 
     # overlapped ingest (VERDICT r4 #7): disk-PNG -> pose with the threaded
     # native decoder PREFETCHING ahead of the device — decode+upload of
@@ -275,7 +277,7 @@ def bench_image_pipeline(n_feat: int):
 
     ingest_ov_fps = overlapped_pass()
     return (fps, float(r.rmse), int(valid.sum()), n, warmup_s, ingest_ms,
-            lc_fps, ingest_ov_fps)
+            lc_fps, ingest_ov_fps, float(lc_r.rmse))
 
 
 def main():
@@ -333,11 +335,11 @@ def main():
     log(f"feature-path ATE {r.rmse * 1e3:.2f} mm")
 
     (img_fps, img_ate, img_tracked, img_n, warmup_img, ingest_ms,
-     lc_fps, ingest_ov_fps) = bench_image_pipeline(n_feat)
+     lc_fps, ingest_ov_fps, lc_ate) = bench_image_pipeline(n_feat)
     log(f"image pipeline {img_fps:.1f} fps, ATE {img_ate * 100:.2f} cm, "
         f"tracked {img_tracked}/{img_n}, warmup {warmup_img:.1f}s, "
-        f"ingest {ingest_ms:.1f} ms/frame, with-loop-closer {lc_fps:.1f} fps, "
-        f"overlapped-ingest {ingest_ov_fps:.1f} fps")
+        f"ingest {ingest_ms:.1f} ms/frame, with-loop-closer {lc_fps:.1f} fps "
+        f"(ATE {lc_ate * 100:.2f} cm), overlapped-ingest {ingest_ov_fps:.1f} fps")
 
     print(
         json.dumps(
@@ -359,6 +361,7 @@ def main():
                 # (no HBM preload): proves ingest OVERLAPS device compute
                 "ingest_overlapped_fps": round(ingest_ov_fps, 2),
                 "lc_fps": round(lc_fps, 2),
+                "lc_ate_cm": round(lc_ate * 100, 3),
                 "kernel_fps": round(fps, 2),
                 "kernel_ate_mm": round(r.rmse * 1e3, 3),
                 "kernel_tracked": f"{int(valid.sum())}/{len(valid)}",

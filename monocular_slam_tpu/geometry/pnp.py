@@ -156,7 +156,8 @@ def solve_pnp_ransac(
 
     if refine:
         res = pose_ba.refine_pose(
-            T_best, X, uv, k, inl_best.astype(X.dtype), n_rounds=2
+            T_best, X, uv, k, inl_best.astype(X.dtype), n_rounds=2,
+            solver="gn",
         )
         # Accept the refinement only if it keeps at least as many inliers.
         use = res.n_inliers >= jnp.sum(inl_best)

@@ -33,19 +33,39 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.
     return conv1d(conv1d(img, -1), -2)
 
 
+def level_shape(shape, level: int) -> tuple[int, int]:
+    """Static (h, w) of pyramid level `level` for a level-0 (h, w)."""
+    s = SCALE_FACTOR**level
+    return (max(int(round(shape[-2] / s)), 16), max(int(round(shape[-1] / s)), 16))
+
+
 def resize_level(img: jnp.ndarray, level: int) -> jnp.ndarray:
     """Downscale to pyramid level (1.2^-level) with bilinear resize."""
     if level == 0:
         return img
-    s = SCALE_FACTOR**level
-    h = max(int(round(img.shape[-2] / s)), 16)
-    w = max(int(round(img.shape[-1] / s)), 16)
+    h, w = level_shape(img.shape, level)
     return jax.image.resize(img, img.shape[:-2] + (h, w), method="bilinear")
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int = N_LEVELS):
-    """Tuple of (n_levels) arrays, level i at scale 1.2^-i."""
-    return tuple(resize_level(img, i) for i in range(n_levels))
+    """Tuple of (n_levels) arrays, level i at scale 1.2^-i.
+
+    Cascaded: level i resizes from level i-1, not from level 0 (XLA lowers
+    bilinear resize to two matmuls whose cost scales with the SOURCE size;
+    cascading shrinks the source geometrically — measured 1.32 -> 0.86 ms
+    for the 8-level 640x480 pyramid on v5e). Target sizes are still
+    computed from level 0, so level shapes are identical to the direct
+    form; the interpolation differs by one bilinear re-sampling per level
+    (sub-quantization at 8-bit image scale)."""
+    levels = [img]
+    for i in range(1, n_levels):
+        h, w = level_shape(img.shape, i)
+        levels.append(
+            jax.image.resize(
+                levels[-1], img.shape[:-2] + (h, w), method="bilinear"
+            )
+        )
+    return tuple(levels)
 
 
 def level_scale(level) -> float:

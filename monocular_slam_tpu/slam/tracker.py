@@ -209,6 +209,7 @@ def relocalize(
     rres = pose_ba.refine_pose(
         pres.T, X, state.kp_uv[si], state.k[i],
         (pres.inliers & has).astype(state.kp_uv.dtype), n_rounds=3,
+        solver="gn",
     )
     n = jnp.maximum(pres.n_inliers, rres.n_inliers)
     ok = (n >= cfg.track.reloc_min_inliers) & cand_ok
@@ -488,7 +489,8 @@ def track(
         assoc = (fp_i >= 0) & state.kp_valid[si]
         Xa = state.points[jnp.maximum(fp_i, 0)]
         rres = pose_ba.refine_pose(
-            T_i, Xa, state.kp_uv[si], state.k[i], assoc.astype(dtype), n_rounds=3
+            T_i, Xa, state.kp_uv[si], state.k[i], assoc.astype(dtype),
+            n_rounds=3, solver="gn",
         )
         use = rres.n_inliers >= pres.n_inliers
         T_i = jnp.where(use, rres.T, T_i)
